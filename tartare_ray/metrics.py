@@ -1,0 +1,43 @@
+"""Per-epoch metrics emission (throughput + skew), SURVEY.md §3.2 step 7.
+
+Tartare analogue: Job step/status documents updated per Celery task
+(`tartare/core/models.py::Job` `[UNVERIFIED — empty checkout]`) —
+re-expressed as one JSON file per committed epoch, derived from the
+per-partition lineage that the appliers return.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .state.manifest import Manifest
+
+
+def epoch_metrics(m: Manifest, touched: list[int], wall_s: float) -> dict:
+    by_p = {pl.p: pl for pl in m.partitions}
+    applied = [by_p[p].events_applied for p in touched if p in by_p]
+    total = sum(applied)
+    mean = total / len(applied) if applied else 0.0
+    return {
+        "epoch": m.epoch,
+        "watermark_lsn": m.watermark_lsn,
+        "partitions_touched": len(applied),
+        "events_applied": total,
+        "rows_total": sum(pl.rows for pl in m.partitions),
+        "wall_s": round(wall_s, 3),
+        "events_per_sec": round(total / wall_s, 1) if wall_s > 0 else None,
+        "skew_max_over_mean": round(max(applied) / mean, 3) if applied and mean else None,
+        "per_partition_events": {str(p): by_p[p].events_applied for p in touched if p in by_p},
+    }
+
+
+def write_epoch_metrics(table_root: str, metrics: dict) -> str:
+    d = os.path.join(table_root, "_metrics")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"e{metrics['epoch']:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, path)
+    return path

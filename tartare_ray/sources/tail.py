@@ -1,0 +1,91 @@
+"""Change-log tail: LSN-watermark file discovery over an append-only
+Parquet directory.
+
+Tartare's change detection is md5-checksum polling of whole feed
+archives (`tartare/core/fetcher.py`, `tartare/tasks.py::automatic_update`
+`[UNVERIFIED — empty checkout, SURVEY.md §0]`).  Here the equivalent is
+an LSN high-watermark: a file is *pending* iff its max LSN exceeds the
+committed watermark.  Per-file LSN ranges come from the Parquet footer
+statistics (no data pages are read), so tailing a log of F files costs
+F footer reads on the driver — at real scale this moves into a handful
+of Ray tasks, but it is metadata-only either way.
+
+Files must individually be LSN-contiguous *ranges* and the log is
+append-only; a straddling file (min <= W < max) can occur only if an
+epoch previously committed mid-file, which the engine never does — it
+is still handled by the row-level ``lsn > watermark`` filter in the
+validate stage (duplicate-delivery safety).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class LogFile:
+    path: str
+    min_lsn: int
+    max_lsn: int
+    num_rows: int
+
+
+def _lsn_range(path: str) -> tuple[int, int, int]:
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            # fall back to reading just the lsn column
+            import pyarrow.compute as pc
+
+            col = f.read(columns=["lsn"])["lsn"]
+            return (
+                pc.min(col).as_py(),
+                pc.max(col).as_py(),
+                md.num_rows,
+            )
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi), md.num_rows
+
+
+def list_log_files(log_dir: str) -> list[LogFile]:
+    out = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(log_dir, name)
+        lo, hi, n = _lsn_range(path)
+        out.append(LogFile(path, lo, hi, n))
+    out.sort(key=lambda f: f.min_lsn)
+    return out
+
+
+def pending_files(log_dir: str, watermark: int) -> list[LogFile]:
+    return [f for f in list_log_files(log_dir) if f.max_lsn > watermark]
+
+
+def plan_epoch(
+    pending: list[LogFile],
+    max_files: int | None = None,
+    max_events: int | None = None,
+) -> list[LogFile]:
+    """Take a prefix of the pending files as one epoch (micro-batch)."""
+    if not pending:
+        return []
+    chosen: list[LogFile] = []
+    events = 0
+    for f in pending:
+        if chosen and max_files is not None and len(chosen) >= max_files:
+            break
+        if chosen and max_events is not None and events + f.num_rows > max_events:
+            break
+        chosen.append(f)
+        events += f.num_rows
+    return chosen

@@ -1,0 +1,81 @@
+"""Validate + schema-unify + pre-reduce + partition-tag stage.
+
+One fused ``map_batches`` stage (stateful: compiled schema & quarantine
+writer held per actor) that, per zero-copy Arrow batch:
+
+1. drops rows at or below the committed watermark (duplicate-delivery /
+   at-least-once tail safety — exactly-once rule D1, SURVEY.md §2A);
+2. quarantines malformed rows (null lsn/doc_id, op not in {I,U,D}) to
+   ``_quarantine/e{epoch}/`` instead of failing the pipeline — the
+   analogue of tartare's InvalidFile rejection
+   (`tartare/core/fetcher.py` `[UNVERIFIED — empty checkout]`);
+3. conforms the batch to the epoch's unified change schema
+   (null-backfill added columns, widen token lists int32→int64);
+4. pre-reduces latest-LSN-per-doc_id *within the batch* — this bounds
+   shuffle skew from zipf-hot keys: a key that dominates the epoch
+   contributes at most one row per input batch to the shuffle instead
+   of its full event count (the salted pre-reduce of SURVEY.md §4.2,
+   with batch-id as the implicit salt);
+5. tags each row with ``part = hash(doc_id) % P`` for the groupby
+   shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import conform
+from .kernels import add_hash_partition_column, latest_per_key
+
+VALID_OPS = ("I", "U", "D")
+
+
+class ValidatePartitionStage:
+    """Callable class -> actor pool via ``map_batches(cls, concurrency=…)``."""
+
+    def __init__(
+        self,
+        change_schema: pa.Schema,
+        watermark: int,
+        num_partitions: int,
+        quarantine_dir: str | None = None,
+    ):
+        self.change_schema = change_schema
+        self.watermark = watermark
+        self.num_partitions = num_partitions
+        self.quarantine_dir = quarantine_dir
+        self._q_opened = False
+
+    def _quarantine(self, bad: pa.Table) -> None:
+        if self.quarantine_dir is None or len(bad) == 0:
+            return
+        if not self._q_opened:
+            os.makedirs(self.quarantine_dir, exist_ok=True)
+            self._q_opened = True
+        # uuid name: duplicates under task retry are possible but harmless
+        # (quarantine is diagnostic, not part of the committed state).
+        pq.write_table(bad, os.path.join(self.quarantine_dir, f"q-{uuid.uuid4().hex}.parquet"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return conform(batch, self.change_schema).append_column(
+                "part", pa.array([], pa.int32())
+            )
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["lsn"]), pc.is_valid(batch["doc_id"])),
+            pc.is_in(batch["op"], value_set=pa.array(VALID_OPS)),
+        )
+        ok = pc.fill_null(ok, False)
+        if not pc.all(ok).as_py():
+            self._quarantine(batch.filter(pc.invert(ok)))
+            batch = batch.filter(ok)
+        # duplicate-delivery safety: drop rows at or below the watermark
+        batch = batch.filter(pc.greater(batch["lsn"], self.watermark))
+        batch = conform(batch, self.change_schema)
+        batch = latest_per_key(batch, key="doc_id", order_col="lsn")
+        return add_hash_partition_column(batch, "doc_id", self.num_partitions)

@@ -1,0 +1,166 @@
+"""M1–M4: distributed engine vs oracle, exactly-once, resume, evolution."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from tartare_ray.gen import GenConfig, generate_log
+from tartare_ray.oracle import replay_oracle
+from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+from tartare_ray.state.manifest import load_current
+
+
+def assert_tables_equal(actual: pa.Table, expected: pa.Table):
+    """Row-for-row equality incl. element-wise token arrays (BASELINE.json:6)."""
+    assert actual.schema.names == expected.schema.names, (
+        actual.schema.names,
+        expected.schema.names,
+    )
+    assert len(actual) == len(expected)
+    assert actual["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    for col in actual.schema.names:
+        a, e = actual[col].to_pylist(), expected[col].to_pylist()
+        assert a == e, f"column {col} differs (first diff at {next(i for i,(x,y) in enumerate(zip(a,e)) if x!=y)})"
+
+
+@pytest.fixture()
+def engine_setup(tmp_log, ray_session):
+    res, cfg, tmp_path = tmp_log
+    root = str(tmp_path / "table")
+    return res, root
+
+
+def test_replay_matches_oracle_single_epoch(engine_setup, tmp_log):
+    res, root = engine_setup
+    eng = CdcEngine(os.path.dirname(res.files[0]), root, EngineConfig(num_partitions=4))
+    m = eng.replay()
+    assert m is not None and m.epoch == 1
+    assert m.watermark_lsn == res.max_lsn
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_replay_matches_oracle_multi_epoch(engine_setup):
+    res, root = engine_setup
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        root,
+        EngineConfig(num_partitions=4, epoch_max_files=2),
+    )
+    m = eng.replay()
+    assert m.epoch == 3  # 5 files / 2 per epoch
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+    # evolved schema reached the committed snapshot
+    assert m.schema.field("tokens").type == pa.list_(pa.int64())
+    assert "quality" in m.schema.names
+
+
+def test_rerun_is_idempotent(engine_setup):
+    res, root = engine_setup
+    log_dir = os.path.dirname(res.files[0])
+    eng = CdcEngine(log_dir, root, EngineConfig(num_partitions=4))
+    m1 = eng.replay()
+    snap1 = eng.snapshot_table()
+    m2 = eng.replay()  # nothing pending: must be a no-op
+    assert m2.epoch == m1.epoch and m2.watermark_lsn == m1.watermark_lsn
+    assert_tables_equal(eng.snapshot_table(), snap1)
+
+
+def test_resume_after_partial_replay(engine_setup):
+    """Stop after epoch 1 of 3; a NEW engine instance resumes from
+    CURRENT and converges to the same state as an uninterrupted run."""
+    res, root = engine_setup
+    log_dir = os.path.dirname(res.files[0])
+    cfg = EngineConfig(num_partitions=4, epoch_max_files=2)
+    eng = CdcEngine(log_dir, root, cfg)
+    m1 = eng.run_epoch()
+    assert m1.epoch == 1
+    eng2 = CdcEngine(log_dir, root, cfg)  # fresh instance = process restart
+    m = eng2.replay()
+    assert m.epoch == 3
+    assert_tables_equal(eng2.snapshot_table(), replay_oracle(res.files))
+
+
+def test_crash_between_phases_is_exactly_once(engine_setup):
+    """Kill the run after partition files are written but before the
+    manifest/CURRENT swap; re-run must converge to the oracle with no
+    duplicate application."""
+    res, root = engine_setup
+    log_dir = os.path.dirname(res.files[0])
+    cfg = EngineConfig(num_partitions=4, epoch_max_files=2)
+
+    class CrashingEngine(CdcEngine):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.crashed = False
+
+        def _commit(self, m):
+            if m.epoch == 2 and not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before CURRENT swap")
+            super()._commit(m)
+
+    eng = CrashingEngine(log_dir, root, cfg)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.replay()
+    assert load_current(root).epoch == 1  # CURRENT untouched by the crash
+    # restart (fresh engine) — epoch 2's LSN range replays deterministically
+    m = CdcEngine(log_dir, root, cfg).replay()
+    assert m.epoch == 3
+    assert_tables_equal(CdcEngine(log_dir, root, cfg).snapshot_table(), replay_oracle(res.files))
+
+
+def test_duplicate_delivery_skipped(engine_setup):
+    """Feeding an already-committed LSN range again is a no-op (D1)."""
+    res, root = engine_setup
+    log_dir = os.path.dirname(res.files[0])
+    eng = CdcEngine(log_dir, root, EngineConfig(num_partitions=4))
+    m1 = eng.replay()
+    snap1 = eng.snapshot_table()
+    # watermark covers the whole log; pending_files -> empty; replay no-op
+    m2 = eng.replay()
+    assert m2.epoch == m1.epoch
+    assert_tables_equal(eng.snapshot_table(), snap1)
+
+
+def test_drop_columns_policy(engine_setup):
+    res, root = engine_setup
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        root,
+        EngineConfig(num_partitions=2, drop_columns=("quality",)),
+    )
+    eng.replay()
+    snap = eng.snapshot_table()
+    assert "quality" not in snap.schema.names
+    expected = replay_oracle(res.files, drop_columns=("quality",))
+    assert_tables_equal(snap, expected)
+
+
+def test_quarantine_malformed_rows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "lsn": pa.array([0, 1, 2, None], pa.int64()),
+            "op": ["I", "X", "I", "I"],  # 'X' invalid; null lsn invalid
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array([[1], [2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 1, 1], pa.int32()),
+            "source": ["s"] * 4,
+            "schema_version": pa.array([1] * 4, pa.int32()),
+        }
+    )
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    pq.write_table(t, str(log_dir / "events-000000.parquet"))
+    root = str(tmp_path / "table")
+    eng = CdcEngine(str(log_dir), root, EngineConfig(num_partitions=2))
+    eng.replay()
+    snap = eng.snapshot_table()
+    assert snap["doc_id"].to_pylist() == ["a", "c"]
+    qdir = os.path.join(root, "_quarantine", "e000001")
+    qrows = sum(pq.read_metadata(os.path.join(qdir, f)).num_rows for f in os.listdir(qdir))
+    assert qrows == 2
