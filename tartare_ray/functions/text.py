@@ -1,0 +1,109 @@
+"""Vectorized text-analysis kernels (Arrow compute + numpy only).
+
+Reference analogue: tartare's CSV string munging inside preprocesses
+(`tartare/processes/contributor/*.py` `[UNVERIFIED — empty checkout,
+SURVEY.md §0]`).  Every function here takes whole Arrow columns and
+returns whole columns/arrays — these run on the hot path inside
+``map_batches`` over zero-copy batches, so no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import WORD_HASH_KEY, hash_strings
+
+_WS_RE = r"\s+"
+
+
+def normalize(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """lower(trim(text)) — the canonical form for exact dedup; matches
+    the DuckDB oracle expression ``lower(trim(text))`` byte-for-byte on
+    ASCII and simple unicode."""
+    return pc.utf8_lower(pc.utf8_trim_whitespace(col))
+
+
+def word_lists(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """Whitespace-split word lists; semantics match DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    arr = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), pattern=_WS_RE)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def word_counts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.list_value_length(word_lists(col))
+
+
+def flat_words(words: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat word values as object ndarray, int64 offsets) for a
+    (non-null) list<string> array."""
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = words.values.to_numpy(zero_copy_only=False)
+    # Slice the values to the window this list array views (offsets are
+    # absolute into the parent buffer).
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    return np.asarray(values[lo:hi], dtype=object), offsets - lo
+
+
+def word_hash_lists(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 word hashes flattened, offsets) per document."""
+    words = word_lists(col)
+    vals, offsets = flat_words(words)
+    return hash_strings(vals, key=WORD_HASH_KEY), offsets
+
+
+def segment_member_counts(
+    flat_values: np.ndarray, offsets: np.ndarray, vocab: frozenset[str]
+) -> np.ndarray:
+    """Per-document count of flattened values that are in ``vocab``
+    (e.g. stopword counts): vectorized membership + segment-sum."""
+    n_docs = len(offsets) - 1
+    if len(flat_values) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    member = np.isin(flat_values, np.array(sorted(vocab), dtype=object)).astype(np.int64)
+    out = np.zeros(n_docs, dtype=np.int64)
+    lengths = np.diff(offsets)
+    nonempty = lengths > 0
+    out[nonempty] = np.add.reduceat(member, offsets[:-1][nonempty])
+    return out
+
+
+# --- language-ID heuristic -------------------------------------------------
+# Tiny built-in function-word profiles (public knowledge). This is a
+# heuristic n-gram/stopword scorer, NOT a trained model — the container
+# has no language-ID package, so this is the honest from-scratch path.
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is it you that was for on are with as at be this".split()),
+    "fr": frozenset("le la les de des et un une du en est que qui dans pour pas sur au ce il".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu den von mit sich auf für im dem ich".split()),
+    "es": frozenset("el la los las de y que en un una es no por con para su al lo como más".split()),
+    "zh": frozenset(list("的一是不了人我在有他这中大来上国")),
+}
+
+
+def lang_scores(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(pred_lang: object ndarray, score: float64 ndarray) via
+    function-word hit-rate per language, vectorized per column.  Ties
+    break by profile order (deterministic dict order above)."""
+    words = word_lists(col)
+    vals, offsets = flat_words(words)
+    lengths = np.maximum(np.diff(offsets), 1)
+    langs = list(LANG_PROFILES)
+    scores = np.zeros((len(lengths), len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        scores[:, j] = segment_member_counts(vals, offsets, LANG_PROFILES[lang]) / lengths
+    # zh has no whitespace words: add a CJK character-ratio signal
+    s = pc.utf8_trim_whitespace(col)
+    total_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.float64)
+    # count CJK chars by replacing them and diffing lengths
+    no_cjk = pc.replace_substring_regex(s, pattern=r"[一-鿿]", replacement="")
+    cjk = total_chars - pc.utf8_length(no_cjk).to_numpy(zero_copy_only=False)
+    scores[:, langs.index("zh")] += np.divide(
+        cjk, np.maximum(total_chars, 1.0)
+    )
+    best = scores.argmax(axis=1)
+    return np.array(langs, dtype=object)[best], scores[np.arange(len(best)), best]

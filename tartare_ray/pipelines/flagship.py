@@ -1,0 +1,209 @@
+"""Flagship pipeline: derive a CDC change log from the testdata
+``documents`` table, replay it through the engine, and expose the
+committed snapshot.
+
+This is the driver-contract entry (`__ray_entry__.py::entry`) and the
+``cdc_apply_small`` / ``cdc_schema_evolution`` queries.  The log is
+derived DETERMINISTICALLY from the documents table (no RNG), in three
+waves that exercise the full semantics:
+
+- wave 0 (insert):  every document; tokens = word-hash % VOCAB (int32)
+- wave 1 (update):  docs with doc_id % 5 < 2 — tokens re-derived with a
+  sentinel appended; adds a ``quality: float64`` column (schema
+  evolution: add) and, for doc_id % 10 == 0, int64 token values beyond
+  2^31 (schema evolution: widen)
+- wave 2 (delete):  docs with doc_id % 10 == 7 (tombstones)
+
+LSNs are a pure function of (wave, doc_id) so the log is identical
+across runs and processes; the engine's replay is compared against
+``oracle.replay_oracle`` in tests and rows-only-checked by the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import __version__
+from ..functions import text as T
+from ..pipelines.cdc import CdcEngine, EngineConfig
+
+VOCAB = 50257
+
+
+def _doc_tokens(
+    texts: pa.ChunkedArray | pa.Array, wide_mask: np.ndarray, sentinel: int | None
+) -> tuple[pa.ListArray, np.ndarray]:
+    """tokens per document = word hashes % VOCAB; rows under
+    ``wide_mask`` get int64 values pushed past 2^31 (forces widening);
+    ``sentinel`` (if given) is appended to every sequence (makes update
+    waves distinguishable from inserts)."""
+    wh, offsets = T.word_hash_lists(texts)
+    toks = (wh % np.uint64(VOCAB)).astype(np.int64)
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    if sentinel is not None:
+        new_lengths = lengths + 1
+        new_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lengths, out=new_offsets[1:])
+        out = np.empty(int(new_offsets[-1]), dtype=np.int64)
+        pos = np.arange(len(out)) - np.repeat(new_offsets[:-1], new_lengths)
+        is_sent = pos == np.repeat(lengths, new_lengths)
+        out[~is_sent] = toks
+        out[is_sent] = sentinel
+        toks, offsets, lengths = out, new_offsets, new_lengths
+    widen = bool(wide_mask.any())
+    if widen:
+        bump = np.repeat(wide_mask, lengths)
+        toks = toks + bump * (2**32)
+        arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(toks, pa.int64()))
+        arr = arr.cast(pa.list_(pa.int64()))
+    else:
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(toks.astype(np.int32), pa.int32())
+        )
+        arr = arr.cast(pa.list_(pa.int32()))
+    return arr, lengths.astype(np.int32)
+
+
+def derive_change_log(sf_dir: str, log_dir: str) -> None:
+    """Write the three-wave change log for ``sf_dir``'s documents.
+
+    Driver-side write is fine here: testdata documents are ≤ 5000 rows.
+    The 10^10-event scale path is ``tartare_ray.gen.generate_log``
+    (vectorized, file-granular, used by bench.py)."""
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, "_COMPLETE")
+    tag = f"flagship-v2-{__version__}-{sf_dir}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == tag:
+                return
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    doc_id_str = pc.cast(docs["doc_id"], pa.string())
+
+    def write(fileno: int, tbl: pa.Table) -> None:
+        path = os.path.join(log_dir, f"events-{fileno:06d}.parquet")
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    # wave 0: insert everything (narrow int32 tokens, no quality column)
+    toks0, len0 = _doc_tokens(docs["text"], np.zeros(n, dtype=bool), sentinel=None)
+    write(
+        0,
+        pa.table(
+            {
+                "lsn": pa.array(ids, pa.int64()),
+                "op": pa.array(["I"] * n),
+                "doc_id": doc_id_str,
+                "tokens": toks0,
+                "n_tok": pa.array(len0, pa.int32()),
+                "source": docs["source"],
+                "schema_version": pa.array(np.ones(n, dtype=np.int32)),
+            }
+        ),
+    )
+    base = int(ids.max()) + 1
+    # wave 1: update 40% — widen + added column
+    upd = ids % 5 < 2
+    uids = ids[upd]
+    utexts = docs["text"].filter(pa.array(upd))
+    toks1, len1 = _doc_tokens(utexts, uids % 10 == 0, sentinel=VOCAB - 1)
+    write(
+        1,
+        pa.table(
+            {
+                "lsn": pa.array(base + uids, pa.int64()),
+                "op": pa.array(["U"] * len(uids)),
+                "doc_id": doc_id_str.filter(pa.array(upd)),
+                "tokens": toks1,
+                "n_tok": pa.array(len1, pa.int32()),
+                "source": docs["source"].filter(pa.array(upd)),
+                "schema_version": pa.array(np.full(len(uids), 2, dtype=np.int32)),
+                "quality": pa.array((uids % 100) / 100.0, pa.float64()),
+            }
+        ),
+    )
+    # wave 2: delete 10%
+    dele = ids % 10 == 7
+    dids = ids[dele]
+    nd = len(dids)
+    write(
+        2,
+        pa.table(
+            {
+                "lsn": pa.array(2 * base + dids, pa.int64()),
+                "op": pa.array(["D"] * nd),
+                "doc_id": doc_id_str.filter(pa.array(dele)),
+                "tokens": pa.nulls(nd, pa.list_(pa.int32())),
+                "n_tok": pa.nulls(nd, pa.int32()),
+                "source": pa.nulls(nd, pa.string()),
+                "schema_version": pa.array(np.full(nd, 2, dtype=np.int32)),
+            }
+        ),
+    )
+    with open(marker, "w") as f:
+        f.write(tag)
+
+
+def flagship_workdir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/tartare_ray/flagship-v2-{__version__}-{tag}"
+
+
+def run_flagship(sf_dir: str, num_partitions: int = 8) -> CdcEngine:
+    """Derive the log (idempotent) and replay it to a committed
+    snapshot; returns the engine handle.  Re-runs are watermark no-ops
+    (exactly-once), so the driver can call this repeatedly."""
+    work = flagship_workdir(sf_dir)
+    log_dir = os.path.join(work, "log")
+    table_root = os.path.join(work, "table")
+    derive_change_log(sf_dir, log_dir)
+    eng = CdcEngine(
+        log_dir,
+        table_root,
+        EngineConfig(num_partitions=num_partitions, epoch_max_files=1),
+    )
+    eng.replay()
+    return eng
+
+
+def token_sum_batch(batch: pa.Table) -> pa.Table:
+    """Snapshot → scalar summary (tokens list folded to a checksum) so
+    the driver's value-hash path sees only scalar columns."""
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = offsets[0]
+    lengths = np.diff(offsets)
+    out = np.zeros(len(batch), dtype=np.int64)
+    valid = lengths > 0
+    if valid.any():
+        out[valid] = np.add.reduceat(flat[lo : offsets[-1]], (offsets[:-1] - lo)[valid])
+    cols = {
+        "doc_id": batch["doc_id"],
+        "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+        "source": batch["source"],
+        "tok_sum": pa.array(out),
+    }
+    if "quality" in batch.schema.names:
+        cols["quality"] = batch["quality"]
+    return pa.table(cols)
+
+
+def flagship_snapshot_summary(sf_dir: str) -> ray.data.Dataset:
+    eng = run_flagship(sf_dir)
+    return eng.snapshot_dataset().map_batches(
+        token_sum_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

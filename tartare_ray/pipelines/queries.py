@@ -1,0 +1,797 @@
+"""Driver-oracle query pipelines (SURVEY.md §2B) — one callable per
+operator, each taking ``sf_dir`` and returning a streaming
+``ray.data.Dataset`` (or small ``pyarrow.Table``), plus the matching
+DuckDB oracle SQL.
+
+Conventions that keep the driver's order-insensitive value-hash green:
+- every computed/aggregate column is explicitly named, identically in
+  the Ray pipeline and the SQL (``AS sum_qty``);
+- float outputs are rounded (4–6 dp) on BOTH sides; oracle-checked
+  outputs avoid small-rational ratios (round-half ties differ between
+  numpy and DuckDB), returning integer numerators/denominators instead;
+- reads prune columns at the parquet scan (``columns=[...]``).
+
+Scale shape of each pipeline is noted inline — these are thin
+compositions over the engine's kernels (``stages/``), not bespoke
+code paths.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages import dedup as D
+from ..stages import multimodal as MM
+from ..stages import similarity as S
+from ..stages import text as TX
+from ..stages.kernels import argmax_per_key
+from .flagship import flagship_snapshot_summary, run_flagship
+
+
+
+def _conc(frac: int = 4) -> int:
+    """Actor-pool size from the live cluster: CPU/frac, min 1 — two
+    pools plus the read stage must co-exist under the CPU budget or the
+    pipeline deadlocks (SURVEY.md §3.2 applier-sizing note)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus // frac)
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Relational operators (M1/M7/A5/J3/O2/A2/A4/D2 of SURVEY.md §2A)
+# --------------------------------------------------------------------------
+
+def filter_project(sf_dir: str) -> ray.data.Dataset:
+    """Predicate + projection + derived column, fused in one
+    map_batches over pruned-column scan."""
+    cutoff = datetime(1998, 1, 1)
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(cutoff)),
+            pc.greater(b["l_discount"], 0.05),
+        )
+        b = b.filter(keep)
+        revenue = pc.round(
+            pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "l_quantity": b["l_quantity"],
+                "revenue": revenue,
+            }
+        )
+
+    return _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped grouped aggregate; Ray's hash-shuffle groupby
+    with partial aggregation (Sum/Mean/Count combine per block before
+    the exchange)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        # money sums go out as integer cents: a double sum at ~5e8 can
+        # differ from DuckDB's by 1 ulp (summation order), which decimal
+        # rounding cannot erase — nearest-cent integers are exact.
+        cents = pc.round(pc.multiply(b["sum_base_price"], 100.0), ndigits=0)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty"], ndigits=2),
+                "sum_base_price_cents": pc.cast(cents, pa.int64()),
+                "avg_disc": pc.round(b["avg_disc"], ndigits=6),
+                "count_order": b["count_order"],
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def hash_join(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer (hash join, Ray Dataset.join) with the
+    selective predicate pushed below the join."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def join_agg(sf_dir: str) -> ray.data.Dataset:
+    """Join + grouped aggregate: revenue by market segment."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    agg = j.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["revenue"], 100.0), ndigits=0)
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "revenue_cents": pc.cast(cents, pa.int64()),
+                "n_orders": b["n_orders"],
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def topk_sort(sf_dir: str) -> ray.data.Dataset:
+    """Global top-k: range-shuffle sort + limit (deterministic
+    tie-break on the key column)."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def distinct_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct-by-composite-key with per-key counts (hash
+    shuffle on the pair)."""
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """argmax(ts, event_id) per user — the SAME associative reduce as
+    the CDC applier's latest-LSN-wins (SURVEY.md §2A A2): per-batch
+    partial pre-reduce, then per-group final.  The pre-reduce bounds
+    shuffle volume to ≤ one row per user per block."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    pre = ds.map_batches(
+        lambda b: argmax_per_key(b, "user_id", ["ts", "event_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    final = pre.groupby("user_id").map_groups(
+        lambda g: argmax_per_key(g, "user_id", ["ts", "event_id"]),
+        batch_format="pyarrow",
+    )
+    return final.select_columns(["user_id", "event_id", "ts", "event_type", "value"])
+
+
+def topk_per_group(sf_dir: str) -> ray.data.Dataset:
+    """Windowed top-k per group (rank() shape): per-batch partial top-k
+    then per-group final — never materializes a group larger than
+    k × n_blocks."""
+    k = 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.sort_by(
+            [("event_type", "ascending"), ("value", "descending"), ("event_id", "ascending")]
+        )
+        # keep first k rows of each event_type run (vectorized rank-in-run)
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(et)
+        if n == 0:
+            return t
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = et[1:] != et[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        return t.filter(pa.array(rank < k))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("value", "descending"), ("event_id", "ascending")]).slice(0, k)
+        return t.append_column("rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64)))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("event_type").map_groups(final, batch_format="pyarrow").select_columns(
+        ["event_type", "event_id", "value", "rank"]
+    )
+
+
+def union_all(sf_dir: str) -> ray.data.Dataset:
+    """Union of two differently-derived streams + schema alignment
+    (SURVEY.md §2A D2)."""
+
+    def stream(event_type: str, channel: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], event_type))
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "channel": pa.array([channel] * len(b), pa.string()),
+                    "value": b["value"],
+                }
+            )
+
+        return fn
+
+    ev = ["event_id", "user_id", "event_type", "value"]
+    clicks = _read(sf_dir, "events", ev).map_batches(
+        stream("click", "click_stream"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    purchases = _read(sf_dir, "events", ev).map_batches(
+        stream("purchase", "purchase_stream"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return clicks.union(purchases)
+
+
+def json_extract(sf_dir: str) -> ray.data.Dataset:
+    """JSON-props field extraction (vectorized regex over the string
+    column — no per-row json.loads) + grouped aggregate."""
+
+    def extract(b: pa.Table) -> pa.Table:
+        st = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    ds = _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"),
+        Min("k", alias_name="min_k"),
+        Max("k", alias_name="max_k"),
+        Count(alias_name="n_events"),
+    )
+
+
+def validity_period(sf_dir: str) -> ray.data.Dataset:
+    """Min/max-span per group — tartare's ValidityPeriod union
+    (SURVEY.md §2A A1), as per-block partial agg → tiny final combine
+    (the pre-aggregate-before-shuffle pattern)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("event_type").aggregate(
+            [("ts", "min"), ("ts", "max"), ("event_id", "count")]
+        )
+        # pyarrow's TableGroupBy column order varies by version — map by name
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts_min": t["ts_min"],
+                "ts_max": t["ts_max"],
+                "n_events": pc.cast(t["event_id_count"], pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "ts_min": pa.array([pc.min(g["ts_min"]).as_py()], g["ts_min"].type),
+                "ts_max": pa.array([pc.max(g["ts_max"]).as_py()], g["ts_max"].type),
+                "n_events": pa.array([pc.sum(g["n_events"]).as_py()], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("event_type").map_groups(combine, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (streaming-window analogue): events are
+    hash-partitioned by user, each group sorted by time and split at
+    gaps > 4 h — vectorized diff, no per-row Python."""
+    gap_us = 4 * 3600 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                "user_id": t["user_id"].slice(0, 1),
+                "n_events": pa.array([len(ts)], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents table)
+# --------------------------------------------------------------------------
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.text_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
+    ds = token_count(sf_dir)
+    lang = _read(sf_dir, "documents", ["doc_id", "lang"])
+    j = ds.join(lang, join_type="inner", num_partitions=4, on=("doc_id",))
+    return j.groupby("lang").aggregate(
+        Sum("n_words", alias_name="total_words"), Count(alias_name="n_docs")
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language-ID — rows-only driver check; accuracy asserted
+    against the testdata ``lang`` column in tests."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: group by normalized text, keep min(doc_id).  At
+    100 TB the groupby key becomes the 64-bit fingerprint (above) so the
+    shuffle moves 8-byte keys, not text — same machinery."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        from ..functions.text import normalize
+
+        return pa.table({"doc_id": b["doc_id"], "norm_text": normalize(b["text"])})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = ds.groupby("norm_text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+# --------------------------------------------------------------------------
+# Near-dup dedup suite (rows-only driver checks; semantics tested in pytest)
+# --------------------------------------------------------------------------
+
+def _pairs_from_buckets(bucketed: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    pairs = bucketed.groupby(keys).map_groups(
+        D.bucket_pairs_group, batch_format="pyarrow"
+    )
+    # distinct pairs (a doc pair may collide in several bands)
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def _collect_signatures(sf_dir: str, stage_cls, **kw):
+    """Materialize (doc_id, signature) driver-side and ray.put it — the
+    broadcast small side for pair verification (scale path: partitioned
+    signature join; module docstring of stages/dedup.py)."""
+    sig_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stage_cls(**kw), batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in sig_ds.to_arrow_refs()]
+    ).combine_chunks()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sig_col = tbl["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    if pa.types.is_list(sig_col.type):
+        flat = sig_col.values.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        sig = flat.reshape(len(ids), -1)
+    else:
+        sig = sig_col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return ray.put((ids, sig))
+
+
+def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pairs with
+    signature-estimated Jaccard ≥ threshold."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        D.MinHashBandStage,
+        fn_constructor_kwargs=dict(num_perms=64, bands=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    pairs = _pairs_from_buckets(bands, ["band", "band_key"])
+    sig_ref = _collect_signatures(sf_dir, D.MinHashSignatureStage, num_perms=64, bands=16)
+    return pairs.map_batches(
+        D.MinHashVerifyStage,
+        fn_constructor_kwargs=dict(sig_ref=sig_ref, threshold=threshold),
+        batch_format="pyarrow",
+        concurrency=_conc(),
+    )
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash(64-bit) near-dup pairs within Hamming distance 3 via
+    4-block pigeonhole LSH."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    blocks = docs.map_batches(
+        D.SimHashBlockStage,
+        fn_constructor_kwargs=dict(blocks=4),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    pairs = _pairs_from_buckets(blocks, ["block", "block_val"])
+    sig_ref = _collect_signatures(sf_dir, D.SimHashSignatureStage, blocks=4)
+    return pairs.map_batches(
+        D.SimHashVerifyStage,
+        fn_constructor_kwargs=dict(sig_ref=sig_ref, max_hamming=max_hamming),
+        batch_format="pyarrow",
+        concurrency=_conc(),
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
+    """LSH candidates verified by EXACT shingle-set Jaccard."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(
+        D.MinHashBandStage,
+        fn_constructor_kwargs=dict(num_perms=64, bands=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    pairs = _pairs_from_buckets(bands, ["band", "band_key"])
+    shingle_sets: dict[int, np.ndarray] = {}
+    for b in _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        shingle_sets.update(D.doc_shingle_sets(b))
+    ref = ray.put(shingle_sets)
+    return pairs.map_batches(
+        D.JaccardVerifyStage,
+        fn_constructor_kwargs=dict(shingles_ref=ref, threshold=threshold),
+        batch_format="pyarrow",
+        concurrency=_conc(),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+def _corpus_ref(sf_dir: str):
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = S.l2_normalize(S.embedding_matrix(tbl))
+    return ray.put((ids, m))
+
+
+def _query_ref(sf_dir: str, n_queries: int):
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = pc.less(tbl["vec_id"], n_queries)
+    sub = tbl.filter(mask)
+    ids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.put((ids, S.l2_normalize(S.embedding_matrix(sub))))
+
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
+    """Exact brute-force cosine top-k: broadcast query matrix, per-batch
+    matmul partials, per-query final reduce."""
+    qref = _query_ref(sf_dir, n_queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.BruteForceTopKStage,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    final = ds.groupby("q_id").map_groups(
+        lambda g: S.topk_group(g, k), batch_format="pyarrow"
+    )
+    # cos is dropped from the oracle-checked output: DuckDB's
+    # list_cosine_similarity computes in float32, so the value can never
+    # hash-match a float64 matmul — (q_id, vec_id, rank) is the result.
+    return final.select_columns(["q_id", "vec_id", "rank"])
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs — exact all-pairs via broadcast
+    corpus matmul (the baseline; LSH-bucketed scale path below)."""
+    cref = _corpus_ref(sf_dir)
+    pairs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.CosinePairsStage,
+        fn_constructor_kwargs=dict(corpus_ref=cref, threshold=threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    # cos dropped for the oracle hash (float32-vs-float64, see ann_topk)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
+    """LSH-bucketed near-dup (the 100 TB path): hyperplane sketch →
+    bucket groupby → within-bucket exact cosine.  Approximate — recall
+    vs ``embedding_dedup`` is asserted in tests."""
+    cref = _corpus_ref(sf_dir)
+    dim = ray.get(cref)[1].shape[1]
+    buckets = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.HyperplaneBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, bits=4, n_tables=8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    pairs = buckets.groupby(["table", "bucket"]).map_groups(
+        S.BucketPairsVerifyStage,
+        fn_constructor_kwargs=dict(corpus_ref=cref, threshold=threshold),
+        batch_format="pyarrow",
+        concurrency=_conc(),
+    )
+    # a pair may surface from several tables — dedupe
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("cos", alias_name="cos"))
+        .select_columns(["id_a", "id_b", "cos"])
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + CDC flagship
+# --------------------------------------------------------------------------
+
+def multimodal_meta(sf_dir: str) -> ray.data.Dataset:
+    """Binary-payload plumbing: attach blob → actor-pool decode stub →
+    typed metadata.  Small batch_size models large-payload memory
+    bounds (SURVEY.md hard-part #3)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        MM.attach_payload_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        MM.DecodeStage,
+        fn_constructor_kwargs=dict(real=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_conc(),
+    )
+
+
+def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
+    """Full engine end-to-end on a documents-derived change log
+    (insert/update/delete + widen + added column), returning a
+    scalar-only snapshot summary (rows-only driver check; the row-level
+    oracle diff runs in pytest)."""
+    return flagship_snapshot_summary(sf_dir)
+
+
+def cdc_schema_evolution(sf_dir: str) -> pa.Table:
+    """Schema-evolution evidence: the committed manifest's schema and
+    per-partition lineage after the evolving replay."""
+    eng = run_flagship(sf_dir)
+    from ..state.manifest import load_current
+
+    m = load_current(eng.table_root)
+    rows = [
+        {
+            "p": pl.p,
+            "rows": pl.rows,
+            "lsn_lo": pl.lsn_lo,
+            "lsn_hi": pl.lsn_hi,
+            "events_applied": pl.events_applied,
+            "schema_fingerprint": m.schema_fingerprint,
+            "n_columns": len(m.schema),
+            "tokens_type": str(m.schema.field("tokens").type),
+        }
+        for pl in m.partitions
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+# --------------------------------------------------------------------------
+# Registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": filter_project,
+    "grouped_agg": grouped_agg,
+    "hash_join": hash_join,
+    "join_agg": join_agg,
+    "topk_sort": topk_sort,
+    "distinct_dedup": distinct_dedup,
+    "latest_event_per_user": latest_event_per_user,
+    "topk_per_group": topk_per_group,
+    "union_all": union_all,
+    "json_extract": json_extract,
+    "validity_period": validity_period,
+    "sessionize": sessionize,
+    "token_count": token_count,
+    "text_stats": text_stats,
+    "tokens_per_lang": tokens_per_lang,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "exact_dedup": exact_dedup,
+    "minhash_lsh_dedup": minhash_lsh_dedup,
+    "simhash_dedup": simhash_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ann_topk": ann_topk,
+    "embedding_dedup": embedding_dedup,
+    "ann_lsh_pairs": ann_lsh_pairs,
+    "multimodal_meta": multimodal_meta,
+    "cdc_apply_small": cdc_apply_small,
+    "cdc_schema_evolution": cdc_schema_evolution,
+}
+
+ORACLE_SQL = {
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+    """,
+    "grouped_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_cents,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "hash_join": """
+        SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000.0
+    """,
+    "join_agg": """
+        SELECT c_mktsegment,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "topk_sort": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "distinct_dedup": """
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "topk_per_group": """
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+        FROM events
+        QUALIFY rank <= 3
+    """,
+    "union_all": """
+        SELECT event_id, user_id, 'click_stream' AS channel, value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, 'purchase_stream' AS channel, value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "json_extract": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "validity_period": """
+        SELECT event_type, min(ts) AS ts_min, max(ts) AS ts_max,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 4 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               1 + sum(new_session) AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "token_count": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+        FROM documents
+    """,
+    "text_stats": """
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               w -> w IN ('the', 'a'))) AS n_stopwords
+        FROM documents
+    """,
+    "tokens_per_lang": """
+        SELECT lang,
+               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_words,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "exact_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY lower(trim(text))
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10)
+        SELECT q_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC
+               ) AS rank
+        FROM q, embeddings e
+        WHERE q.q_id <> e.vec_id
+        QUALIFY rank <= 5
+    """,
+    "embedding_dedup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               octet_length(encode(text)) % 640 + 1 AS width,
+               (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+               CAST(1 AS INTEGER) AS n_frames
+        FROM documents
+    """,
+    # lang_id / doc_fingerprint / minhash_lsh_dedup / simhash_dedup /
+    # ngram_jaccard_pairs / ann_lsh_pairs / cdc_* are not
+    # SQL-expressible (heuristic scoring, hash-family-specific
+    # signatures, LSH approximation, stateful replay) → rows-only.
+}

@@ -39,6 +39,21 @@ def _first_occurrence_mask(arr: pa.Array) -> pa.BooleanArray:
     return pa.concat_arrays([pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq])
 
 
+def argmax_per_key(
+    tbl: pa.Table, key: str, order_cols: list[str]
+) -> pa.Table:
+    """Keep, per key, the row maximizing ``order_cols`` lexicographically
+    (later columns break ties).  Same associative-reduce shape as
+    ``latest_per_key`` — safe as a per-batch partial followed by a
+    per-group final."""
+    if len(tbl) == 0:
+        return tbl
+    sort_keys = [(key, "ascending")] + [(c, "descending") for c in order_cols]
+    t = tbl.sort_by(sort_keys).combine_chunks()
+    mask = _first_occurrence_mask(t[key].combine_chunks())
+    return t.filter(mask)
+
+
 def latest_per_key(
     tbl: pa.Table, key: str = "doc_id", order_col: str = "lsn"
 ) -> pa.Table:

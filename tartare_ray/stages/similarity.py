@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (list<float>):
+brute-force cosine top-k (exact baseline) and a random-hyperplane
+LSH-bucketed variant (the scale path), plus embedding-cosine
+near-duplicate pairs.
+
+No reference analogue (tartare has no vector ops `[UNVERIFIED — empty
+checkout, SURVEY.md §0]`); these are the training-data-pipeline
+operators the build brief requires as first-class components.
+
+Pattern: the query matrix / comparison matrix is broadcast ONCE via
+``ray.put`` and resolved per actor in ``__init__`` (never re-shipped
+per batch); each ``__call__`` is one numpy matmul over a zero-copy
+batch.  At 100 TB the broadcast side must stay small (queries,
+centroids, or one bucket) — all-pairs near-dup switches from
+"broadcast the full matrix" to LSH bucketing + within-bucket matmul,
+which is exactly ``HyperplaneBucketStage`` + a groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-ish-copy:
+    flat values reshaped (fixed dim assumed, asserted)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    d = int(offsets[1] - offsets[0]) if n else 0
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    m = flat[lo:hi].reshape(n, d)
+    return m
+
+
+def l2_normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class BruteForceTopKStage:
+    """Per-batch partial top-k: emits (q_id, vec_id, cos) candidate
+    rows — ≤ k per query per batch — for a final per-query reduce
+    (``groupby(q_id).map_groups(topk_group)``).  Exact, streaming, and
+    the per-query candidate volume is k × n_batches regardless of N."""
+
+    def __init__(self, queries_ref, k: int):
+        self.q_ids, q = ray.get(queries_ref)  # (m,), (m, d) L2-normalized
+        self.q = q
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = l2_normalize(embedding_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.q @ x.T  # (m, n)
+        # exclude self-matches (query set ⊆ corpus)
+        sims[self.q_ids[:, None] == vec_ids[None, :]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        m = len(self.q_ids)
+        rows_q = np.repeat(self.q_ids, k)
+        rows_v = vec_ids[part.reshape(-1)]
+        rows_c = sims[np.repeat(np.arange(m), k), part.reshape(-1)]
+        keep = np.isfinite(rows_c)
+        return pa.table(
+            {
+                "q_id": pa.array(rows_q[keep]),
+                "vec_id": pa.array(rows_v[keep]),
+                "cos": pa.array(rows_c[keep]),
+            }
+        )
+
+
+def topk_group(group: pa.Table, k: int) -> pa.Table:
+    """Final reduce for one query: keep top-k by (cos desc, vec_id asc)
+    with a deterministic rank column."""
+    t = group.sort_by([("cos", "descending"), ("vec_id", "ascending")]).slice(0, k)
+    return t.append_column("rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64)))
+
+
+class CosinePairsStage:
+    """All-pairs near-dup (cos ≥ threshold): each batch matmuls against
+    the broadcast full corpus; (a < b) dedupes pair direction.  Exact;
+    O(N·batch) per batch — the brute-force baseline.  Scale path:
+    ``HyperplaneBucketStage`` below."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        self.ids, self.m = ray.get(corpus_ref)  # (N,), (N, d) normalized
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = l2_normalize(embedding_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = x @ self.m.T  # (b, N)
+        mask = (sims >= self.threshold) & (vec_ids[:, None] < self.ids[None, :])
+        bi, ci = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(vec_ids[bi]),
+                "id_b": pa.array(self.ids[ci]),
+                "cos": pa.array(np.round(sims[bi, ci], 6)),
+            }
+        )
+
+
+class HyperplaneBucketStage:
+    """Random-hyperplane LSH bucketing: sign-bit sketch of each
+    embedding → ``n_tables`` bucket keys per vector.  Vectors are then
+    co-grouped by (table, bucket) and compared within buckets only —
+    the all-to-all matmul becomes a bucket-local one.  Approximate:
+    recall is tested against the brute-force baseline."""
+
+    def __init__(self, dim: int, bits: int = 12, n_tables: int = 4, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, bits, dim))
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = l2_normalize(embedding_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(vec_ids)
+        keys = np.empty((self.n_tables, n), dtype=np.int64)
+        weights = np.int64(1) << np.arange(self.planes.shape[1], dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (x @ self.planes[t].T) > 0  # (n, bits)
+            keys[t] = bits @ weights
+        return pa.table(
+            {
+                "table": pa.array(np.repeat(np.arange(self.n_tables, dtype=np.int32), n)),
+                "bucket": pa.array(keys.reshape(-1)),
+                "vec_id": pa.array(np.tile(vec_ids, self.n_tables)),
+            }
+        )
+
+
+class BucketPairsVerifyStage:
+    """(table, bucket) groups → exact-cosine pairs within the bucket,
+    using broadcast embeddings for the final similarity (bucket members
+    only — bounded)."""
+
+    def __init__(self, corpus_ref, threshold: float, max_bucket: int = 1024):
+        ids, m = ray.get(corpus_ref)
+        self.index = {int(v): i for i, v in enumerate(ids)}
+        self.m = m
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) < 2 or len(ids) > self.max_bucket:
+            return empty
+        rows = np.fromiter((self.index[int(v)] for v in ids), dtype=np.int64, count=len(ids))
+        sub = self.m[rows]
+        sims = sub @ sub.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= self.threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[keep]]),
+                "id_b": pa.array(ids[ib[keep]]),
+                "cos": pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
+            }
+        )

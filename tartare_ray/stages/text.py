@@ -1,0 +1,87 @@
+"""Text-analysis stages for the ``documents`` table: token counting,
+quality stats, language-ID, document fingerprinting.
+
+Reference analogue: tartare's per-feed CSV normalization preprocesses
+(`tartare/processes/contributor/*.py` `[UNVERIFIED — empty checkout,
+SURVEY.md §0]`), generalized to the text operators a training-data
+pipeline needs.  All stages are pure-function ``map_batches`` bodies
+over zero-copy Arrow batches — stateless, so they run as tasks, not
+actors (no per-worker state to amortize).  Regex compilation happens
+inside Arrow's kernel cache; the only Python-level state (stopword
+sets, language profiles) is module-level constants shipped once per
+worker with the function closure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as T
+from ..functions.hashing import rolling_fingerprint
+
+# Stopwords drawn from the testdata vocabulary's English function words;
+# the set is part of the operator contract (mirrored in the SQL oracle).
+STOPWORDS = ("the", "a")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + whitespace word count (matches DuckDB
+    ``len(regexp_split_to_array(trim(text),'\\s+'))``)."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pc.cast(T.word_counts(batch["text"]), pa.int64()),
+        }
+    )
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring feature columns, all integer-valued so the
+    driver's value-hash comparison is exact (ratios are left to the
+    consumer; see SURVEY.md §2B float-boundary note)."""
+    text = batch["text"]
+    words = T.word_lists(text)
+    vals, offsets = T.flat_words(words)
+    n_words = np.diff(offsets)
+    stop = T.segment_member_counts(vals, offsets, frozenset(STOPWORDS))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_stopwords": pa.array(stop, type=pa.int64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language-ID (function-word + CJK-ratio scorer,
+    ``functions/text.py::lang_scores``) — not SQL-expressible, so the
+    driver records a rows-only check; tests assert accuracy against
+    the testdata ``lang`` column instead."""
+    pred, score = T.lang_scores(batch["text"])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred, type=pa.string()),
+            "lang_score": pa.array(np.round(score, 6), type=pa.float64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Order-sensitive rolling-hash document fingerprint (Karp–Rabin
+    shape over word hashes) — deterministic across runs/processes, used
+    for exact-dup detection without shuffling full text at scale."""
+    wh, offsets = T.word_hash_lists(batch["text"])
+    fp = rolling_fingerprint(wh, offsets)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            # int64 view keeps the driver/duckdb hash path happy (uint64
+            # round-trips poorly through pandas); the bit pattern is the id.
+            "fingerprint": pa.array(fp.view(np.int64), type=pa.int64()),
+        }
+    )

@@ -1,0 +1,142 @@
+"""Dedup + text-analysis semantics on planted fixtures: near-dup pairs
+are found, unrelated docs are not; language-ID and fingerprints behave."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """A documents.parquet with planted duplicate groups:
+
+    - docs 0/1: identical long text (exact + near dup)
+    - docs 2/3: near-dup (one word changed out of 40)
+    - docs 4..23: unrelated random word-soup
+    """
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    base = " ".join(rng.choice(vocab, 40))
+    near = base.split()
+    near[20] = "CHANGED"
+    near = " ".join(near)
+    texts = [base, base, base + " tail", near] + [
+        " ".join(rng.choice(vocab, 40)) for _ in range(20)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["fixture"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _pairs(df):
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    return {(int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"])}
+
+
+def test_minhash_finds_planted_pairs(planted_dir, ray_session):
+    from tartare_ray.pipelines.queries import minhash_lsh_dedup
+
+    pairs = _pairs(minhash_lsh_dedup(planted_dir, threshold=0.5))
+    assert (0, 1) in pairs  # identical
+    assert (2, 3) in pairs or (0, 3) in pairs or (1, 3) in pairs  # near-dup family
+    for a, b in pairs:  # no unrelated doc appears
+        assert a <= 3 and b <= 3, (a, b)
+
+
+def test_ngram_jaccard_exact_values(planted_dir, ray_session):
+    from tartare_ray.pipelines.queries import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(planted_dir, threshold=0.3).to_pandas()
+    j = {(int(a), int(b)): v for a, b, v in zip(df["doc_a"], df["doc_b"], df["jaccard"])}
+    assert j[(0, 1)] == 1.0  # identical docs: exact jaccard 1
+    assert all(a <= 3 and b <= 3 for a, b in j)
+
+
+def test_simhash_finds_identical(planted_dir, ray_session):
+    from tartare_ray.pipelines.queries import simhash_dedup
+
+    df = simhash_dedup(planted_dir, max_hamming=3).to_pandas()
+    pairs = {(int(a), int(b)): int(h) for a, b, h in zip(df["doc_a"], df["doc_b"], df["hamming"])}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+
+
+def test_exact_dedup_groups(planted_dir, ray_session):
+    from tartare_ray.pipelines.queries import exact_dedup
+
+    df = exact_dedup(planted_dir).to_pandas().set_index("doc_id")
+    assert int(df.loc[0, "n_copies"]) == 2  # docs 0,1 collapse; survivor min id
+    assert 1 not in df.index
+    assert len(df) == 23  # 24 docs - 1 collapsed
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import pyarrow as pa
+
+    from tartare_ray.stages.text import fingerprint_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", "a b c", "c b a", "a b c d"]),
+        }
+    )
+    fp = fingerprint_batch(tbl)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]  # identical text, identical fingerprint
+    assert fp[0] != fp[2]  # order-sensitive
+    assert fp[0] != fp[3]  # length-sensitive
+
+
+def test_lang_id_on_real_sentences(ray_session):
+    import pyarrow as pa
+
+    from tartare_ray.stages.text import lang_id_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat is on the mat and it is warm in the sun",
+                    "le chat est sur le tapis et il est dans la maison",
+                    "der hund ist nicht in dem haus und ich bin mit ihm",
+                    "el gato es en la casa y no es como los otros",
+                    "的一是不了人我在有他",
+                ]
+            ),
+        }
+    )
+    out = lang_id_batch(tbl)
+    assert out["pred_lang"].to_pylist() == ["en", "fr", "de", "es", "zh"]
+
+
+def test_text_stats_vectorized_counts(ray_session):
+    import pyarrow as pa
+
+    from tartare_ray.stages.text import text_stats_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["the a the xyz", "  solo  "]),
+        }
+    )
+    out = text_stats_batch(tbl)
+    assert out["n_words"].to_pylist() == [4, 1]
+    assert out["n_stopwords"].to_pylist() == [3, 0]
+    assert out["n_chars"].to_pylist() == [13, 8]

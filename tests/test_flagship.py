@@ -1,0 +1,57 @@
+"""Flagship (documents-derived CDC replay): engine state row-for-row
+equals the single-process oracle, incl. token-array equality; re-runs
+are watermark no-ops."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tartare_ray.oracle import replay_oracle
+from tartare_ray.pipelines.flagship import derive_change_log, flagship_workdir, run_flagship
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fresh_flagship(ray_session):
+    shutil.rmtree(flagship_workdir(SF), ignore_errors=True)
+    eng = run_flagship(SF)
+    return eng
+
+
+def test_flagship_matches_oracle(fresh_flagship):
+    eng = fresh_flagship
+    log_dir = os.path.join(flagship_workdir(SF), "log")
+    files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir)) if f.endswith(".parquet")]
+    expected = replay_oracle(files)
+    actual = eng.snapshot_table()
+    assert actual.schema.names == expected.schema.names
+    assert len(actual) == len(expected)
+    for col in actual.schema.names:  # includes element-wise tokens equality
+        assert actual[col].to_pylist() == expected[col].to_pylist(), col
+
+
+def test_flagship_schema_evolved(fresh_flagship):
+    schema = fresh_flagship.snapshot_table().schema
+    assert "quality" in schema.names  # added column survived
+    assert schema.field("tokens").type.value_type == __import__("pyarrow").int64()  # widened
+
+
+def test_flagship_rerun_is_noop(fresh_flagship):
+    from tartare_ray.state.manifest import load_current
+
+    before = load_current(fresh_flagship.table_root)
+    eng2 = run_flagship(SF)  # same workdir; pending log already committed
+    after = load_current(eng2.table_root)
+    assert after.epoch == before.epoch and after.watermark_lsn == before.watermark_lsn
+
+
+def test_derive_log_idempotent(tmp_path):
+    d = str(tmp_path / "log")
+    derive_change_log(SF, d)
+    first = sorted(os.listdir(d))
+    derive_change_log(SF, d)  # marker hit: no rewrite
+    assert sorted(os.listdir(d)) == first

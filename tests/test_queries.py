@@ -1,0 +1,77 @@
+"""Driver-oracle parity: every oracle-checkable query compared against
+its DuckDB SQL at sf0.001 (mirrors the driver's CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _oracle_keys():
+    from tartare_ray.pipelines.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _oracle_keys())
+def test_query_matches_oracle(name, duck, ray_session):
+    from tartare_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    ray_df = QUERIES[name](SF)
+    if hasattr(ray_df, "to_pandas"):
+        ray_df = ray_df.to_pandas()
+    sql_df = duck.sql(ORACLE_SQL[name]).df()
+    assert len(ray_df) == len(sql_df), f"rowcount {len(ray_df)} != {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating):
+            ok = np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9) | (
+                pd.isna(av) & pd.isna(bv)
+            )
+        else:
+            ok = (av == bv) | (pd.isna(av) & pd.isna(bv))
+        assert ok.all(), f"{name}.{c}: first mismatch {av[~ok][:3]} vs {bv[~ok][:3]}"
+
+
+def test_rows_only_queries_run(ray_session):
+    """Non-SQL-expressible pipelines: schema-stable, deterministic rows."""
+    from tartare_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    expected_cols = {
+        "lang_id": ["doc_id", "pred_lang", "lang_score"],
+        "doc_fingerprint": ["doc_id", "fingerprint"],
+        "minhash_lsh_dedup": ["doc_a", "doc_b", "est_jaccard"],
+        "simhash_dedup": ["doc_a", "doc_b", "hamming"],
+        "ngram_jaccard_pairs": ["doc_a", "doc_b", "jaccard"],
+        "ann_lsh_pairs": ["id_a", "id_b", "cos"],
+        "cdc_apply_small": ["doc_id", "n_tok", "source", "tok_sum", "quality"],
+    }
+    for name, cols in expected_cols.items():
+        assert name in QUERIES and name not in ORACLE_SQL
+        df = QUERIES[name](SF)
+        if hasattr(df, "to_pandas"):
+            df = df.to_pandas()
+        assert list(df.columns) == cols, name
