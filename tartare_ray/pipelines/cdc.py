@@ -53,9 +53,14 @@ class EngineConfig:
     # P ≈ table_bytes / 512 MB, epoch_max_events ≈ P × a few M rows.
     epoch_max_files: int | None = None
     epoch_max_events: int | None = None
+    # Uncompressed-bytes epoch bound (from parquet footers). None ->
+    # auto: ~1/8 of the object store per epoch, so the in-flight sort
+    # (input blocks + sorted slices + outputs) stays memory-resident
+    # (measured: 5 GB epochs sustain ~1.7M ev/s on 32 CPUs; 7 GB+
+    # epochs fall to ~0.45M when the sort spills).
+    epoch_max_bytes: int | None = None
     drop_columns: tuple[str, ...] = ()
     validate_batch_size: int | None = None  # None -> Ray default (whole blocks)
-    validate_concurrency: int | tuple[int, int] | None = None
     applier_concurrency: int | tuple[int, int] | None = None
     compression: str = "zstd"
     initial_schema: pa.Schema = BASE_SCHEMA
@@ -92,7 +97,13 @@ class CdcEngine:
         cur = load_current(self.table_root)
         watermark = cur.watermark_lsn if cur is not None else -1
         pending = pending_files(self.log_dir, watermark)
-        chosen = plan_epoch(pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events)
+        max_bytes = self.cfg.epoch_max_bytes
+        if max_bytes is None:
+            store = ray.cluster_resources().get("object_store_memory")
+            max_bytes = int(store // 8) if store else None
+        chosen = plan_epoch(
+            pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events, max_bytes
+        )
         if not chosen:
             return None
         epoch = (cur.epoch + 1) if cur is not None else 1
@@ -101,32 +112,46 @@ class CdcEngine:
             {pl.p: pl.file for pl in cur.partitions} if cur is not None else {}
         )
 
-        # Actor-pool sizing: callable-class stages require explicit
-        # concurrency, and the two pools TOGETHER must fit under the
-        # CPU budget with room for the read stage — oversubscribed
-        # pools can never finish spawning and the pipeline deadlocks.
+        # Applier-pool sizing: the actor pool must fit under the CPU
+        # budget with room for the read/validate tasks — an oversubscribed
+        # pool can never finish spawning and the pipeline deadlocks.
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        validate_conc = self.cfg.validate_concurrency or max(1, min(len(chosen), cpus // 4))
         applier_conc = self.cfg.applier_concurrency or max(
             1, min(self.cfg.num_partitions, cpus // 2)
         )
 
+        # Read WITHOUT a schema override: passing schema= makes Ray's
+        # parquet datasource pathologically slow (~357s ctor vs 2s for a
+        # 16-file/16M-row log, measured) — schema unification instead
+        # happens per-batch in the validate stage via conform(), which
+        # handles exactly the same null-backfill + int-widening.  Block
+        # count is sized from footer byte totals (~64 MB uncompressed
+        # per block, floor = cluster CPUs) so the shuffle sees few large
+        # blocks instead of hundreds of tiny ones (3× faster, measured).
+        ray.data.DataContext.get_current().decoding_size_estimation = False
+        total_bytes = sum(f.bytes_uncompressed for f in chosen)
+        # Cap at 2×CPUs: the sort shuffle materializes blocks² transfer
+        # objects, so 8×CPU block counts drown the scheduler in tiny
+        # objects (measured: 225 blocks → 0.7M ev/s, 64 blocks → 1M+).
+        num_blocks = max(cpus, min(-(-total_bytes // (64 << 20)), cpus * 2))
         ds = ray.data.read_parquet(
             [f.path for f in chosen],
-            schema=change_schema,  # pyarrow-dataset-level widen + null-backfill
+            override_num_blocks=num_blocks,
+        )
+        # Validate/unify/pre-reduce runs as plain TASKS (an instance, not
+        # a callable class): there is no per-worker state worth
+        # amortizing, and tasks scale elastically with no pool to size.
+        validator = ValidatePartitionStage(
+            change_schema=change_schema,
+            watermark=watermark,
+            num_partitions=self.cfg.num_partitions,
+            quarantine_dir=f"{self.table_root}/_quarantine/e{epoch:06d}",
         )
         ds = ds.map_batches(
-            ValidatePartitionStage,
-            fn_constructor_kwargs=dict(
-                change_schema=change_schema,
-                watermark=watermark,
-                num_partitions=self.cfg.num_partitions,
-                quarantine_dir=f"{self.table_root}/_quarantine/e{epoch:06d}",
-            ),
+            validator,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=self.cfg.validate_batch_size,
-            concurrency=validate_conc,
         )
         lineage_ds = ds.groupby("part").map_groups(
             MergeApplier,

@@ -31,14 +31,16 @@ class LogFile:
     min_lsn: int
     max_lsn: int
     num_rows: int
+    bytes_uncompressed: int = 0  # from row-group metadata; sizes read blocks
 
 
-def _lsn_range(path: str) -> tuple[int, int, int]:
+def _lsn_range(path: str) -> tuple[int, int, int, int]:
     f = pq.ParquetFile(path)
     md = f.metadata
     idx = md.schema.to_arrow_schema().get_field_index("lsn")
-    lo, hi = None, None
+    lo, hi, nbytes = None, None, 0
     for rg in range(md.num_row_groups):
+        nbytes += md.row_group(rg).total_byte_size
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
             # fall back to reading just the lsn column
@@ -49,10 +51,11 @@ def _lsn_range(path: str) -> tuple[int, int, int]:
                 pc.min(col).as_py(),
                 pc.max(col).as_py(),
                 md.num_rows,
+                nbytes,
             )
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return int(lo), int(hi), md.num_rows
+    return int(lo), int(hi), md.num_rows, nbytes
 
 
 def list_log_files(log_dir: str) -> list[LogFile]:
@@ -61,8 +64,8 @@ def list_log_files(log_dir: str) -> list[LogFile]:
         if not name.endswith(".parquet"):
             continue
         path = os.path.join(log_dir, name)
-        lo, hi, n = _lsn_range(path)
-        out.append(LogFile(path, lo, hi, n))
+        lo, hi, n, nb = _lsn_range(path)
+        out.append(LogFile(path, lo, hi, n, nb))
     out.sort(key=lambda f: f.min_lsn)
     return out
 
@@ -75,17 +78,29 @@ def plan_epoch(
     pending: list[LogFile],
     max_files: int | None = None,
     max_events: int | None = None,
+    max_bytes: int | None = None,
 ) -> list[LogFile]:
-    """Take a prefix of the pending files as one epoch (micro-batch)."""
+    """Take a prefix of the pending files as one epoch (micro-batch).
+
+    ``max_bytes`` (uncompressed, from footers) is the scale-honest
+    bound: an epoch's shuffle must fit the cluster's aggregate object
+    store, or the sort spills and throughput halves (measured 2× at
+    48M events on one node).  A single file larger than the bound
+    still forms a one-file epoch (progress guarantee).
+    """
     if not pending:
         return []
     chosen: list[LogFile] = []
     events = 0
+    nbytes = 0
     for f in pending:
         if chosen and max_files is not None and len(chosen) >= max_files:
             break
         if chosen and max_events is not None and events + f.num_rows > max_events:
             break
+        if chosen and max_bytes is not None and nbytes + f.bytes_uncompressed > max_bytes:
+            break
         chosen.append(f)
         events += f.num_rows
+        nbytes += f.bytes_uncompressed
     return chosen

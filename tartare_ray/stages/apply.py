@@ -37,8 +37,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import numpy as np
+
 from ..schema import conform
-from .kernels import latest_per_key
+from .kernels import key_hash, latest_per_key
 
 
 def part_file_name(p: int, epoch: int) -> str:
@@ -72,12 +74,14 @@ class MergeApplier:
         if len(group) == 0:
             return _lineage_table([])
         p = group["part"][0].as_py()
-        winners = latest_per_key(group, key="doc_id", order_col="lsn")
+        winners = latest_per_key(group, key="doc_id", order_col="lsn", hash_col="doc_hash")
         lsn_lo = pc.min(group["lsn"]).as_py()
         lsn_hi = pc.max(group["lsn"]).as_py()
 
         live = winners.filter(pc.not_equal(winners["op"], "D"))
-        new_rows = conform(live, self.snapshot_schema)
+        # keep the int64 hash as the fast deterministic sort surrogate
+        live_hash = live["doc_hash"].combine_chunks()
+        new_rows = conform(live, self.snapshot_schema).append_column("doc_hash", live_hash)
 
         base = self._load_base(p)
         if base is not None and len(base):
@@ -85,10 +89,17 @@ class MergeApplier:
                 pc.is_in(base["doc_id"], value_set=winners["doc_id"].combine_chunks())
             )
             base_keep = base.filter(keep)
+            base_keep = base_keep.append_column(
+                "doc_hash", pa.array(key_hash(base_keep["doc_id"]).view(np.int64))
+            )
             final = pa.concat_tables([base_keep, new_rows])
         else:
             final = new_rows
-        final = final.sort_by([("doc_id", "ascending")])
+        # Deterministic output order (exactly-once under task retry):
+        # (doc_hash, doc_id) — int-dominant sort, strings only on ties.
+        final = final.sort_by(
+            [("doc_hash", "ascending"), ("doc_id", "ascending")]
+        ).drop_columns(["doc_hash"])
 
         fname = part_file_name(p, self.epoch)
         path = os.path.join(self.table_root, "data", fname)

@@ -15,17 +15,45 @@ import pyarrow.compute as pc
 _HASH_KEY = "tartare_ray.p.v1"  # exactly 16 bytes (pandas hash_array requirement)
 
 
+def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a string key column."""
+    arr = keys.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(
+        np.asarray(arr, dtype=object), hash_key=_HASH_KEY, categorize=False
+    )
+
+
 def hash_partition_ids(keys: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
     """Deterministic uint64 hash of a string column -> partition id."""
-    arr = keys.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(np.asarray(arr, dtype=object), hash_key=_HASH_KEY, categorize=False)
-    return (h % np.uint64(num_partitions)).astype(np.int32)
+    return (key_hash(keys) % np.uint64(num_partitions)).astype(np.int32)
 
 
 def add_hash_partition_column(
-    tbl: pa.Table, key: str, num_partitions: int, col_name: str = "part"
+    tbl: pa.Table,
+    key: str,
+    num_partitions: int,
+    col_name: str = "part",
+    hash_col: str | None = None,
 ) -> pa.Table:
-    return tbl.append_column(col_name, pa.array(hash_partition_ids(tbl[key], num_partitions)))
+    """Append the partition-id column and (optionally) the raw 64-bit
+    key hash as ``hash_col`` — the hash doubles as an integer sort
+    surrogate for the key downstream (sorting 64-bit ints is several
+    times faster than sorting the doc_id strings, and the hot sorts
+    dominate applier CPU)."""
+    h = key_hash(tbl[key])
+    tbl = tbl.append_column(
+        col_name, pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+    )
+    if hash_col is not None:
+        tbl = tbl.append_column(hash_col, pa.array(h.view(np.int64)))
+    return tbl
+
+
+def sort_by_key_then(tbl: pa.Table, key: str, hash_col: str, order_cols: list[tuple[str, str]]) -> pa.Table:
+    """Deterministic sort clustering equal keys adjacently using the
+    int64 ``hash_col`` as the primary (fast) sort key; the string key
+    itself breaks hash ties so ordering stays total and deterministic."""
+    return tbl.sort_by([(hash_col, "ascending"), (key, "ascending"), *order_cols])
 
 
 def _first_occurrence_mask(arr: pa.Array) -> pa.BooleanArray:
@@ -55,7 +83,7 @@ def argmax_per_key(
 
 
 def latest_per_key(
-    tbl: pa.Table, key: str = "doc_id", order_col: str = "lsn"
+    tbl: pa.Table, key: str = "doc_id", order_col: str = "lsn", hash_col: str | None = None
 ) -> pa.Table:
     """argmax(order_col) per key — the core CDC reduce (latest-LSN-wins,
     SURVEY.md §2A A2).  Associative: applying this per batch, then again
@@ -67,6 +95,10 @@ def latest_per_key(
     """
     if len(tbl) == 0:
         return tbl
-    t = tbl.sort_by([(key, "ascending"), (order_col, "descending")]).combine_chunks()
+    if hash_col is not None and hash_col in tbl.schema.names:
+        sort_keys = [(hash_col, "ascending"), (key, "ascending"), (order_col, "descending")]
+    else:
+        sort_keys = [(key, "ascending"), (order_col, "descending")]
+    t = tbl.sort_by(sort_keys).combine_chunks()
     mask = _first_occurrence_mask(t[key].combine_chunks())
     return t.filter(mask)

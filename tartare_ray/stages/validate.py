@@ -63,8 +63,10 @@ class ValidatePartitionStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return conform(batch, self.change_schema).append_column(
-                "part", pa.array([], pa.int32())
+            return (
+                conform(batch, self.change_schema)
+                .append_column("part", pa.array([], pa.int32()))
+                .append_column("doc_hash", pa.array([], pa.int64()))
             )
         ok = pc.and_(
             pc.and_(pc.is_valid(batch["lsn"]), pc.is_valid(batch["doc_id"])),
@@ -77,5 +79,9 @@ class ValidatePartitionStage:
         # duplicate-delivery safety: drop rows at or below the watermark
         batch = batch.filter(pc.greater(batch["lsn"], self.watermark))
         batch = conform(batch, self.change_schema)
-        batch = latest_per_key(batch, key="doc_id", order_col="lsn")
-        return add_hash_partition_column(batch, "doc_id", self.num_partitions)
+        # doc_hash rides along as an int64 sort surrogate: the applier's
+        # hot sorts run on (doc_hash, doc_id) instead of raw strings.
+        batch = add_hash_partition_column(
+            batch, "doc_id", self.num_partitions, hash_col="doc_hash"
+        )
+        return latest_per_key(batch, key="doc_id", order_col="lsn", hash_col="doc_hash")
