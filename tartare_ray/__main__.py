@@ -1,0 +1,152 @@
+"""CLI — the ``ray job submit`` entry point (north_rule: "run via ray
+job submit on a fixed-size multi-node Ray cluster").
+
+    ray job submit -- python -m tartare_ray replay --log-dir L --table-root T
+    python -m tartare_ray tail   --log-dir L --table-root T --poll-interval 5
+    python -m tartare_ray gen    --log-dir L --n-events 1000000
+    python -m tartare_ray publish --table-root T --dest D1 --dest D2
+    python -m tartare_ray gc     --table-root T --keep-last 2
+    python -m tartare_ray detect-hot-keys --log-dir L [--num-partitions 64]
+
+Owns the Ray session (guarded: under ``ray job submit`` the cluster
+session already exists and ``ray.init`` just attaches).  Library
+modules never init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _engine(args):
+    from .pipelines.cdc import CdcEngine, EngineConfig
+
+    return CdcEngine(
+        args.log_dir,
+        args.table_root,
+        EngineConfig(
+            num_partitions=args.num_partitions,
+            hot_key_salts=args.salts,
+            epoch_max_events=args.epoch_max_events,
+        ),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tartare_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_engine_args(sp):
+        sp.add_argument("--log-dir", required=True)
+        sp.add_argument("--table-root", required=True)
+        sp.add_argument("--num-partitions", type=int, default=64)
+        sp.add_argument("--salts", type=int, default=None)
+        sp.add_argument("--epoch-max-events", type=int, default=None)
+
+    sp = sub.add_parser("replay", help="apply the whole pending log, epoch by epoch")
+    add_engine_args(sp)
+
+    sp = sub.add_parser("tail", help="continuous tail: poll the log dir for new LSNs")
+    add_engine_args(sp)
+    sp.add_argument("--poll-interval", type=float, default=5.0)
+    sp.add_argument("--max-polls", type=int, default=None, help="stop after N empty polls (default: forever)")
+
+    sp = sub.add_parser("gen", help="write a synthetic change log")
+    sp.add_argument("--log-dir", required=True)
+    sp.add_argument("--n-events", type=int, required=True)
+    sp.add_argument("--n-docs", type=int, default=None)
+    sp.add_argument("--seed", type=int, default=42)
+
+    sp = sub.add_parser("publish", help="promote CURRENT snapshot to environment(s), in order")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--dest", action="append", required=True)
+
+    sp = sub.add_parser("gc", help="drop partition files only reachable from old epochs")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--keep-last", type=int, default=2)
+
+    sp = sub.add_parser("detect-hot-keys", help="sample the log, recommend a salt count")
+    sp.add_argument("--log-dir", required=True)
+    sp.add_argument("--num-partitions", type=int, default=64)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .gen import GenConfig, generate_log
+
+        res = generate_log(
+            args.log_dir,
+            GenConfig(
+                n_events=args.n_events,
+                n_docs=args.n_docs or max(1000, args.n_events // 10),
+                seed=args.seed,
+            ),
+        )
+        print(json.dumps({"files": len(res.files), "n_events": res.n_events, "max_lsn": res.max_lsn}))
+        return 0
+
+    if args.cmd == "publish":
+        from .state.publish import publish_environments
+
+        ms = publish_environments(args.table_root, args.dest)
+        print(json.dumps({"published_epoch": ms[-1].epoch, "environments": args.dest}))
+        return 0
+
+    if args.cmd == "gc":
+        from .state.manifest import gc_epochs
+
+        removed = gc_epochs(args.table_root, keep_last=args.keep_last)
+        print(json.dumps({"files_removed": removed}))
+        return 0
+
+    if args.cmd == "detect-hot-keys":
+        from .sources.sample import detect_hot_keys
+        from .sources.tail import list_log_files
+
+        rep = detect_hot_keys(list_log_files(args.log_dir), args.num_partitions)
+        print(json.dumps(rep.__dict__))
+        return 0
+
+    _init_ray()
+    eng = _engine(args)
+    if args.cmd == "replay":
+        m = eng.replay()
+        if m is None:
+            print(json.dumps({"status": "empty", "epoch": None}))
+        else:
+            print(json.dumps({"status": "committed", "epoch": m.epoch, "watermark": m.watermark_lsn}))
+        return 0
+
+    if args.cmd == "tail":
+        empty = 0
+        while True:
+            m = eng.run_epoch()
+            if m is None:
+                empty += 1
+                if args.max_polls is not None and empty >= args.max_polls:
+                    return 0
+                time.sleep(args.poll_interval)
+            else:
+                empty = 0
+                print(
+                    json.dumps({"epoch": m.epoch, "watermark": m.watermark_lsn}),
+                    flush=True,
+                )
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,10 +60,42 @@ class EngineConfig:
     # epochs fall to ~0.45M when the sort spills).
     epoch_max_bytes: int | None = None
     drop_columns: tuple[str, ...] = ()
+    # Explicit hot-key salting (north_star: "explicit salted-key
+    # repartitioning for hot doc_id skew").  When set to S > 1, events
+    # are first reduced per (part, salt = lsn % S) group — a hot
+    # doc_id's events spread over S groups, each emitting one partial
+    # winner — and the applier then runs the same associative
+    # latest-LSN reduce over the ≤S partials per key.  Valid because
+    # argmax(lsn) is associative and deletes survive partials as rows.
+    # Use ``sources.sample.detect_hot_keys`` to decide when to enable.
+    hot_key_salts: int | None = None
     validate_batch_size: int | None = None  # None -> Ray default (whole blocks)
     applier_concurrency: int | tuple[int, int] | None = None
     compression: str = "zstd"
     initial_schema: pa.Schema = BASE_SCHEMA
+
+
+def _salted_pre_reduce(ds: ray.data.Dataset, salts: int) -> ray.data.Dataset:
+    """Stage 1 of the skew-safe apply: reduce per (part, salt) so a hot
+    key's event stream fans out over ``salts`` groups before the final
+    per-partition merge.  Only partial winners (≤ one row per key per
+    salt) reach the second shuffle."""
+    import numpy as np
+
+    from ..stages.kernels import latest_per_key
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if "salt" in b.schema.names or len(b) == 0:
+            return b.append_column("salt", pa.array([], pa.int32())) if len(b) == 0 and "salt" not in b.schema.names else b
+        lsn = b["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("salt", pa.array((lsn % salts).astype(np.int32)))
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return latest_per_key(g, key="doc_id", order_col="lsn", hash_col="doc_hash")
+
+    ds = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.groupby(["part", "salt"]).map_groups(reduce_group, batch_format="pyarrow")
+    return ds.drop_columns(["salt"])
 
 
 class CdcEngine:
@@ -153,6 +185,8 @@ class CdcEngine:
             zero_copy_batch=True,
             batch_size=self.cfg.validate_batch_size,
         )
+        if self.cfg.hot_key_salts and self.cfg.hot_key_salts > 1:
+            ds = _salted_pre_reduce(ds, self.cfg.hot_key_salts)
         lineage_ds = ds.groupby("part").map_groups(
             MergeApplier,
             fn_constructor_kwargs=dict(

@@ -96,6 +96,45 @@ def commit_manifest(table_root: str, m: Manifest) -> None:
     _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(m.epoch))
 
 
+def gc_epochs(table_root: str, keep_last: int = 2) -> int:
+    """Copy-on-write GC: delete partition files referenced ONLY by
+    manifests older than the last ``keep_last`` epochs (time travel to
+    those epochs is given up), plus the old manifests/metrics.  Never
+    touches anything reachable from a retained manifest, so readers of
+    CURRENT (or recent epochs) are unaffected — the deletion is safe to
+    run concurrently with the engine because committed files are
+    immutable and CURRENT only moves forward."""
+    mdir = os.path.join(table_root, "_manifests")
+    cur = load_current(table_root)
+    if cur is None:
+        return 0
+    epochs = sorted(
+        int(n[1:7]) for n in os.listdir(mdir) if n.startswith("e") and n.endswith(".json")
+    )
+    keep = {e for e in epochs if e > cur.epoch - keep_last}
+    keep.add(cur.epoch)
+    live: set[str] = set()
+    for e in keep:
+        with open(_manifest_path(table_root, e)) as f:
+            d = json.load(f)
+        live.update(p["file"] for p in d["partitions"])
+    removed = 0
+    data = os.path.join(table_root, "data")
+    if os.path.isdir(data):
+        for name in os.listdir(data):
+            rel = os.path.join("data", name)
+            if name.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(data, name))
+                removed += 1
+    for e in epochs:
+        if e not in keep:
+            os.remove(_manifest_path(table_root, e))
+            met = os.path.join(table_root, "_metrics", f"e{e:06d}.json")
+            if os.path.exists(met):
+                os.remove(met)
+    return removed
+
+
 def gc_orphans(table_root: str) -> int:
     """Remove in-progress tmp part files left by a crashed epoch."""
     data = os.path.join(table_root, "data")
