@@ -83,7 +83,14 @@ def run_cdc(num_cpus: int) -> dict:
     shutil.rmtree(root, ignore_errors=True)
     _warm_cache()
     t0 = time.perf_counter()
-    eng = CdcEngine(_log_dir(), root, EngineConfig(num_partitions=64))
+    eng = CdcEngine(
+        _log_dir(),
+        root,
+        # delta (LSM) write mode is the flagship at-scale path: per-epoch
+        # write amplification is O(epoch winners), not O(table) — 1.09M
+        # vs 0.63M ev/s on a 100M-event 5-epoch replay (BASELINE.md).
+        EngineConfig(num_partitions=64, write_mode="delta", compact_chain_len=8),
+    )
     m = eng.replay()
     wall = time.perf_counter() - t0
     ea = [pl.events_applied for pl in m.partitions if pl.events_applied]
@@ -92,7 +99,7 @@ def run_cdc(num_cpus: int) -> dict:
         "n_events": res.n_events,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(res.n_events / wall),
-        "rows_final": sum(pl.rows for pl in m.partitions),
+        "lineage_rows": sum(pl.rows for pl in m.partitions),
         "partition_skew_max_over_mean": round(skew, 3),
         "epoch": m.epoch,
     }

@@ -15,7 +15,11 @@ from .state.manifest import Manifest
 
 
 def epoch_metrics(m: Manifest, touched: list[int], wall_s: float) -> dict:
-    by_p = {pl.p: pl for pl in m.partitions}
+    # this epoch's entries only (delta mode: a partition has a chain of
+    # entries; the one written this epoch carries this epoch's counts)
+    by_p = {pl.p: pl for pl in m.partitions if pl.epoch == m.epoch}
+    if not by_p:  # pre-chain manifests (epoch field defaulted to 0)
+        by_p = {pl.p: pl for pl in m.partitions}
     applied = [by_p[p].events_applied for p in touched if p in by_p]
     total = sum(applied)
     mean = total / len(applied) if applied else 0.0

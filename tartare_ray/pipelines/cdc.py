@@ -53,11 +53,13 @@ class EngineConfig:
     # P ≈ table_bytes / 512 MB, epoch_max_events ≈ P × a few M rows.
     epoch_max_files: int | None = None
     epoch_max_events: int | None = None
-    # Uncompressed-bytes epoch bound (from parquet footers). None ->
-    # auto: ~1/8 of the object store per epoch, so the in-flight sort
-    # (input blocks + sorted slices + outputs) stays memory-resident
-    # (measured: 5 GB epochs sustain ~1.7M ev/s on 32 CPUs; 7 GB+
-    # epochs fall to ~0.45M when the sort spills).
+    # Footer-bytes epoch bound. None -> auto: store/20 of FOOTER bytes.
+    # Footer total_byte_size is the ENCODED (dict/RLE, pre-compression)
+    # size — measured ~3.5× smaller than the decoded in-memory Arrow
+    # for this token-heavy schema — so store/20 of footer bytes ≈
+    # store/6 resident, which keeps the epoch's sort in memory
+    # (measured: ~7 GB resident epochs sustain 1.6-1.7M ev/s on 32
+    # CPUs; 15 GB+ epochs spill the sort and fall to ~0.4M).
     epoch_max_bytes: int | None = None
     drop_columns: tuple[str, ...] = ()
     # Explicit hot-key salting (north_star: "explicit salted-key
@@ -72,6 +74,12 @@ class EngineConfig:
     validate_batch_size: int | None = None  # None -> Ray default (whole blocks)
     applier_concurrency: int | tuple[int, int] | None = None
     compression: str = "zstd"
+    # "cow": rewrite the full partition each epoch (simple reads).
+    # "delta": LSM — write only epoch winners as delta files, fold the
+    # chain at read, compact past compact_chain_len (the 10^10 path:
+    # write amplification O(epoch winners) instead of O(table)).
+    write_mode: str = "cow"
+    compact_chain_len: int = 8
     initial_schema: pa.Schema = BASE_SCHEMA
 
 
@@ -132,7 +140,7 @@ class CdcEngine:
         max_bytes = self.cfg.epoch_max_bytes
         if max_bytes is None:
             store = ray.cluster_resources().get("object_store_memory")
-            max_bytes = int(store // 8) if store else None
+            max_bytes = int(store // 20) if store else None
         chosen = plan_epoch(
             pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events, max_bytes
         )
@@ -140,9 +148,13 @@ class CdcEngine:
             return None
         epoch = (cur.epoch + 1) if cur is not None else 1
         snap_schema, change_schema = self._epoch_schemas(cur, chosen)
-        parent_files = (
-            {pl.p: pl.file for pl in cur.partitions} if cur is not None else {}
-        )
+        # Per-partition file chain in epoch order (cow: length ≤ 1).
+        parent_chain: dict[int, list[dict]] = {}
+        if cur is not None:
+            for pl in sorted(cur.partitions, key=lambda x: (x.p, x.epoch)):
+                parent_chain.setdefault(pl.p, []).append(
+                    {"file": pl.file, "kind": pl.kind}
+                )
 
         # Applier-pool sizing: the actor pool must fit under the CPU
         # budget with room for the read/validate tasks — an oversubscribed
@@ -193,8 +205,10 @@ class CdcEngine:
                 table_root=self.table_root,
                 epoch=epoch,
                 snapshot_schema=snap_schema,
-                parent_files=parent_files,
+                parent_chain=parent_chain,
                 compression=self.cfg.compression,
+                mode=self.cfg.write_mode,
+                compact_chain_len=self.cfg.compact_chain_len,
             ),
             batch_format="pyarrow",
             concurrency=applier_conc,
@@ -211,14 +225,19 @@ class CdcEngine:
                 lsn_hi=int(r["lsn_hi"]),
                 events_applied=int(r["events_applied"]),
                 bytes=int(r["bytes"]),
+                kind=r["kind"],
+                epoch=epoch,
             )
             for r in lineage_rows
         ]
-        if cur is not None:  # carry untouched partitions forward (copy-on-write)
-            partitions.extend(
-                pl for pl in cur.partitions if pl.p not in touched
-            )
-        partitions.sort(key=lambda pl: pl.p)
+        if cur is not None:
+            for pl in cur.partitions:
+                if pl.p not in touched:
+                    partitions.append(pl)  # untouched: whole chain forward
+                elif touched[pl.p]["kind"] == "delta":
+                    partitions.append(pl)  # delta appends to the chain
+                # kind == "base": compaction/CoW replaced the chain — drop
+        partitions.sort(key=lambda pl: (pl.p, pl.epoch))
 
         m = Manifest(
             epoch=epoch,
@@ -249,26 +268,56 @@ class CdcEngine:
             last = m
 
     # -- snapshot readers --------------------------------------------------
+    def _chains(self, m: Manifest) -> dict[int, list[dict]]:
+        chains: dict[int, list[dict]] = {}
+        for pl in sorted(m.partitions, key=lambda x: (x.p, x.epoch)):
+            chains.setdefault(pl.p, []).append({"file": pl.file, "kind": pl.kind})
+        return chains
+
     def snapshot_dataset(self) -> ray.data.Dataset:
         """The committed table as a streaming Dataset (conformed to the
-        manifest schema — older partition files evolve lazily at read)."""
+        manifest schema — older partition files evolve lazily at read).
+
+        Pure-base manifests (cow, or delta fully compacted) stream via
+        ``read_parquet``; manifests with live delta chains go through a
+        per-partition merge stage (``stages/compact.py``) — one task per
+        partition, no shuffle."""
         m = load_current(self.table_root)
         if m is None or not m.partitions:
             empty = (m.schema if m else self.cfg.initial_schema).empty_table()
             return ray.data.from_arrow(empty)
-        files = [f"{self.table_root}/{pl.file}" for pl in m.partitions]
-        return ray.data.read_parquet(files, schema=m.schema)
+        if all(pl.kind == "base" for pl in m.partitions):
+            files = [f"{self.table_root}/{pl.file}" for pl in m.partitions]
+            return ray.data.read_parquet(files, schema=m.schema)
+        import json as _json
+
+        from ..stages.compact import PartitionMergeReader
+
+        items = [
+            {"p": p, "chain_json": _json.dumps(chain)}
+            for p, chain in sorted(self._chains(m).items())
+        ]
+        return ray.data.from_items(items).map_batches(
+            PartitionMergeReader(self.table_root, m.schema_b64),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
 
     def snapshot_table(self) -> pa.Table:
         """Whole snapshot as one Arrow table, sorted by doc_id — tests
         and small results only (materializes on the driver)."""
+        from ..stages.compact import merge_chain
+
         m = load_current(self.table_root)
         if m is None:
             return self.cfg.initial_schema.empty_table()
-        tables = [
-            conform(pq.read_table(f"{self.table_root}/{pl.file}"), m.schema)
-            for pl in m.partitions
-        ]
+        tables = []
+        for p, chain in sorted(self._chains(m).items()):
+            raw = [pq.read_table(f"{self.table_root}/{e['file']}") for e in chain]
+            if len(raw) == 1 and chain[0]["kind"] == "base":
+                tables.append(conform(raw[0], m.schema))
+            else:
+                tables.append(merge_chain(raw, m.schema))
         if not tables:
             return m.schema.empty_table()
         return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

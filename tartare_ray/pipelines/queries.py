@@ -410,13 +410,24 @@ def _pairs_from_buckets(bucketed: ray.data.Dataset, keys: list[str]) -> ray.data
     )
 
 
-def _collect_signatures(sf_dir: str, stage_cls, **kw):
-    """Materialize (doc_id, signature) driver-side and ray.put it — the
-    broadcast small side for pair verification (scale path: partitioned
-    signature join; module docstring of stages/dedup.py)."""
-    sig_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        stage_cls(**kw), batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+def _sig_dataset(sf_dir: str, stage_cls, **kw) -> ray.data.Dataset:
+    """Materialized (doc_id, sig) dataset — ONE pass over the text; the
+    band/block explosion and the broadcast verification table are both
+    derived from it (no second read+hash of documents)."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            stage_cls(**kw), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
     )
+
+
+def _sig_broadcast(sig_ds: ray.data.Dataset):
+    """ray.put handle of (doc_ids, uint64 sig matrix/vector) built from
+    the materialized signature blocks.  Broadcast small side — the
+    100 TB path replaces this with a partitioned signature join
+    (stages/dedup.py module docstring)."""
     tbl = pa.concat_tables(
         [ray.get(r) for r in sig_ds.to_arrow_refs()]
     ).combine_chunks()
@@ -432,19 +443,23 @@ def _collect_signatures(sf_dir: str, stage_cls, **kw):
     return ray.put((ids, sig))
 
 
+def _minhash_candidates(sf_dir: str):
+    """Shared LSH candidate machinery: one text pass → signatures →
+    band rows → bucket pairs (distinct)."""
+    sigs = _sig_dataset(sf_dir, D.MinHashSignatureStage, num_perms=64, bands=16)
+    bands = sigs.map_batches(
+        lambda b: D.minhash_bands_from_sigs_batch(b, bands=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _pairs_from_buckets(bands, ["band", "band_key"]), sigs
+
+
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pairs with
     signature-estimated Jaccard ≥ threshold."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = docs.map_batches(
-        D.MinHashBandStage,
-        fn_constructor_kwargs=dict(num_perms=64, bands=16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_conc(),
-    )
-    pairs = _pairs_from_buckets(bands, ["band", "band_key"])
-    sig_ref = _collect_signatures(sf_dir, D.MinHashSignatureStage, num_perms=64, bands=16)
+    pairs, sigs = _minhash_candidates(sf_dir)
+    sig_ref = _sig_broadcast(sigs)
     return pairs.map_batches(
         D.MinHashVerifyStage,
         fn_constructor_kwargs=dict(sig_ref=sig_ref, threshold=threshold),
@@ -456,16 +471,14 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash(64-bit) near-dup pairs within Hamming distance 3 via
     4-block pigeonhole LSH."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    blocks = docs.map_batches(
-        D.SimHashBlockStage,
-        fn_constructor_kwargs=dict(blocks=4),
+    sigs = _sig_dataset(sf_dir, D.SimHashSignatureStage, blocks=4)
+    blocks = sigs.map_batches(
+        lambda b: D.simhash_blocks_from_sigs_batch(b, blocks=4),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=_conc(),
     )
     pairs = _pairs_from_buckets(blocks, ["block", "block_val"])
-    sig_ref = _collect_signatures(sf_dir, D.SimHashSignatureStage, blocks=4)
+    sig_ref = _sig_broadcast(sigs)
     return pairs.map_batches(
         D.SimHashVerifyStage,
         fn_constructor_kwargs=dict(sig_ref=sig_ref, max_hamming=max_hamming),
@@ -475,16 +488,9 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
-    """LSH candidates verified by EXACT shingle-set Jaccard."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = docs.map_batches(
-        D.MinHashBandStage,
-        fn_constructor_kwargs=dict(num_perms=64, bands=16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_conc(),
-    )
-    pairs = _pairs_from_buckets(bands, ["band", "band_key"])
+    """LSH candidates verified by EXACT shingle-set Jaccard (one extra
+    text pass to collect shingle sets for the broadcast)."""
+    pairs, _sigs = _minhash_candidates(sf_dir)
     shingle_sets: dict[int, np.ndarray] = {}
     for b in _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
         batch_format="pyarrow", batch_size=4096

@@ -7,44 +7,52 @@ hash-partitioned merge-apply (SURVEY.md §2A J2/ST2):
 
 - runs as a callable class under
   ``ds.groupby("part").map_groups(MergeApplier, concurrency=…)`` —
-  an actor pool; constructor state (schemas, root paths) is built once
-  per actor, each ``__call__`` receives ONE partition's pre-reduced
-  events as a single Arrow table;
-- loads the parent-epoch partition file (copy-on-write base), conforms
-  it to the epoch's unified schema (schema evolution happens lazily,
-  per touched partition — untouched partitions carry forward and are
-  conformed at read, like metadata-only evolution in lakehouse formats);
-- final latest-LSN-wins reduce over the group (cross-batch partials),
-  tombstone-drop (op="D" removes the key), concat surviving base rows,
-  sort by doc_id (deterministic output — required for exactly-once
-  under task retry);
-- writes ``data/part-{p:05d}-e{epoch:06d}.parquet`` via deterministic
-  tmp name + ``os.replace`` so a retried task overwrites itself with
-  identical bytes;
-- returns a one-row lineage table (p, file, rows, lsn range,
-  events_applied, bytes) consumed by the manifest commit.
+  an actor pool; constructor state (schemas, root paths, parent
+  chains) is built once per actor, each ``__call__`` receives ONE
+  partition's pre-reduced events as a single Arrow table;
+- two write modes:
+  * ``cow`` (default): load the parent partition file, merge winners,
+    rewrite the whole partition — simplest reads, O(table) write
+    amplification per epoch;
+  * ``delta`` (LSM): write only the epoch's winners (tombstones
+    included) as ``delta-{p}-e{E}.parquet``; a partition's state is
+    the base + ordered delta chain, folded at read by
+    ``stages/compact.py::merge_chain`` and COMPACTED back into a
+    fresh base when the chain exceeds ``compact_chain_len`` —
+    O(epoch winners) write amplification, the 10^10-events path;
+- schema evolution happens lazily per touched partition: parent files
+  are conformed to the epoch's unified schema at load;
+- all writes are deterministic tmp-name + ``os.replace`` so a retried
+  task overwrites itself with identical bytes (exactly-once);
+- returns one lineage row per output file (p, file, kind, rows, lsn
+  range, events_applied, bytes) consumed by the manifest commit.
 
 The base snapshot carries no per-row LSN: every event in epoch E+1 has
 lsn > watermark(E) >= every LSN reflected in the base, so base rows
-lose all conflicts by construction.
+lose all conflicts by construction; across deltas the chain order
+(epoch) is the priority.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import numpy as np
-
 from ..schema import conform
+from .compact import DELTA_ENVELOPE, merge_chain
 from .kernels import key_hash, latest_per_key
 
 
 def part_file_name(p: int, epoch: int) -> str:
     return f"part-{p:05d}-e{epoch:06d}.parquet"
+
+
+def delta_file_name(p: int, epoch: int) -> str:
+    return f"delta-{p:05d}-e{epoch:06d}.parquet"
 
 
 class MergeApplier:
@@ -53,37 +61,62 @@ class MergeApplier:
         table_root: str,
         epoch: int,
         snapshot_schema: pa.Schema,
-        parent_files: dict[int, str],  # partition -> path relative to table_root
+        parent_chain: dict[int, list[dict]],  # p -> [{"file","kind"}…] epoch order
         compression: str = "zstd",
+        mode: str = "cow",
+        compact_chain_len: int = 8,
     ):
+        assert mode in ("cow", "delta")
         self.table_root = table_root
         self.epoch = epoch
         self.snapshot_schema = snapshot_schema
-        self.parent_files = parent_files
+        self.parent_chain = parent_chain
         self.compression = compression
+        self.mode = mode
+        self.compact_chain_len = compact_chain_len
         os.makedirs(os.path.join(table_root, "data"), exist_ok=True)
 
-    def _load_base(self, p: int) -> pa.Table | None:
-        rel = self.parent_files.get(p)
-        if rel is None:
-            return None
-        base = pq.read_table(os.path.join(self.table_root, rel))
-        return conform(base, self.snapshot_schema)
+    # -- file IO -------------------------------------------------------------
+    def _read_chain_tables(self, p: int) -> list[pa.Table]:
+        return [
+            pq.read_table(os.path.join(self.table_root, e["file"]))
+            for e in self.parent_chain.get(p, [])
+        ]
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if len(group) == 0:
-            return _lineage_table([])
-        p = group["part"][0].as_py()
-        winners = latest_per_key(group, key="doc_id", order_col="lsn", hash_col="doc_hash")
-        lsn_lo = pc.min(group["lsn"]).as_py()
-        lsn_hi = pc.max(group["lsn"]).as_py()
+    def _write(self, fname: str, tbl: pa.Table) -> str:
+        path = os.path.join(self.table_root, "data", fname)
+        tmp = path + ".inprogress"
+        pq.write_table(tbl, tmp, compression=self.compression)
+        os.replace(tmp, path)
+        return path
 
+    def _lineage(self, p, fname, kind, rows, lsn_lo, lsn_hi, applied, path) -> pa.Table:
+        return _lineage_table(
+            [
+                {
+                    "p": p,
+                    "file": os.path.join("data", fname),
+                    "kind": kind,
+                    "rows": rows,
+                    "lsn_lo": lsn_lo,
+                    "lsn_hi": lsn_hi,
+                    "events_applied": applied,
+                    "bytes": os.path.getsize(path),
+                }
+            ]
+        )
+
+    # -- modes ---------------------------------------------------------------
+    def _apply_cow(self, p, group, winners, lsn_lo, lsn_hi) -> pa.Table:
         live = winners.filter(pc.not_equal(winners["op"], "D"))
-        # keep the int64 hash as the fast deterministic sort surrogate
         live_hash = live["doc_hash"].combine_chunks()
         new_rows = conform(live, self.snapshot_schema).append_column("doc_hash", live_hash)
 
-        base = self._load_base(p)
+        chain = self._read_chain_tables(p)
+        base = (
+            merge_chain(chain, self.snapshot_schema) if len(chain) > 1
+            else (conform(chain[0], self.snapshot_schema) if chain else None)
+        )
         if base is not None and len(base):
             keep = pc.invert(
                 pc.is_in(base["doc_id"], value_set=winners["doc_id"].combine_chunks())
@@ -100,25 +133,52 @@ class MergeApplier:
         final = final.sort_by(
             [("doc_hash", "ascending"), ("doc_id", "ascending")]
         ).drop_columns(["doc_hash"])
-
         fname = part_file_name(p, self.epoch)
-        path = os.path.join(self.table_root, "data", fname)
-        tmp = path + ".inprogress"
-        pq.write_table(final, tmp, compression=self.compression)
-        os.replace(tmp, path)
+        path = self._write(fname, final)
+        return self._lineage(p, fname, "base", len(final), lsn_lo, lsn_hi, None, path)
 
-        return _lineage_table(
-            [
-                {
-                    "p": p,
-                    "file": os.path.join("data", fname),
-                    "rows": len(final),
-                    "lsn_lo": lsn_lo,
-                    "lsn_hi": lsn_hi,
-                    "events_applied": len(group),
-                    "bytes": os.path.getsize(path),
-                }
-            ]
+    def _apply_delta(self, p, group, winners, lsn_lo, lsn_hi) -> pa.Table:
+        chain = self.parent_chain.get(p, [])
+        # delta payload: snapshot columns + (op, lsn) envelope, ordered
+        envelope = pa.schema(
+            [pa.field(n, winners.schema.field(n).type) for n in DELTA_ENVELOPE]
+        )
+        body = conform(winners, self.snapshot_schema)
+        for name in reversed(DELTA_ENVELOPE):
+            body = body.add_column(0, envelope.field(name), winners[name])
+        body = body.append_column("doc_hash", winners["doc_hash"].combine_chunks())
+        body = body.sort_by(
+            [("doc_hash", "ascending"), ("doc_id", "ascending")]
+        ).drop_columns(["doc_hash"])
+
+        if len(chain) + 1 >= self.compact_chain_len:
+            # COMPACT: fold base + deltas + this epoch's winners into a
+            # fresh base (tombstones physically dropped here).
+            tables = self._read_chain_tables(p) + [body]
+            final = merge_chain(tables, self.snapshot_schema)
+            fname = part_file_name(p, self.epoch)
+            path = self._write(fname, final)
+            return self._lineage(p, fname, "base", len(final), lsn_lo, lsn_hi, None, path)
+        fname = delta_file_name(p, self.epoch)
+        path = self._write(fname, body)
+        return self._lineage(p, fname, "delta", len(body), lsn_lo, lsn_hi, None, path)
+
+    # -- entry ---------------------------------------------------------------
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _lineage_table([])
+        p = group["part"][0].as_py()
+        winners = latest_per_key(group, key="doc_id", order_col="lsn", hash_col="doc_hash")
+        lsn_lo = pc.min(group["lsn"]).as_py()
+        lsn_hi = pc.max(group["lsn"]).as_py()
+        if self.mode == "delta":
+            out = self._apply_delta(p, group, winners, lsn_lo, lsn_hi)
+        else:
+            out = self._apply_cow(p, group, winners, lsn_lo, lsn_hi)
+        return out.set_column(
+            out.schema.get_field_index("events_applied"),
+            "events_applied",
+            pa.array([len(group)], pa.int64()),
         )
 
 
@@ -126,6 +186,7 @@ LINEAGE_SCHEMA = pa.schema(
     [
         ("p", pa.int32()),
         ("file", pa.string()),
+        ("kind", pa.string()),
         ("rows", pa.int64()),
         ("lsn_lo", pa.int64()),
         ("lsn_hi", pa.int64()),
@@ -138,4 +199,6 @@ LINEAGE_SCHEMA = pa.schema(
 def _lineage_table(rows: list[dict]) -> pa.Table:
     if not rows:
         return LINEAGE_SCHEMA.empty_table()
+    for r in rows:
+        r.setdefault("events_applied", 0)
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)

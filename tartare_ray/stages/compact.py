@@ -1,0 +1,95 @@
+"""LSM-style delta-chain merge + compaction (delta write mode).
+
+In ``write_mode="delta"`` the applier writes only each epoch's
+winners (including op="D" tombstones) as a per-partition DELTA file
+instead of rewriting the whole partition — write amplification drops
+from O(table_size) to O(epoch_winners) per epoch.  A partition's
+state is then the ordered chain
+
+    [base (optional), delta e_i, delta e_j, ...]   (i < j)
+
+and the merged view is "last writer wins per doc_id, tombstones
+drop" — evaluated vectorized here.  When a chain grows past
+``compact_chain_len`` the applier folds it back into a fresh base
+(compaction), which is also where tombstones are physically removed
+(north_star: "tombstone compaction").
+
+Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
+tartare keeps every export as an immutable GridFS artifact and
+rebuilds from the latest — the delta chain is the incremental
+refinement of that model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import conform
+from .kernels import key_hash, latest_per_key
+
+# Delta files carry the snapshot payload plus these envelope columns.
+DELTA_ENVELOPE = ("op", "lsn")
+
+
+def merge_chain(tables: list[pa.Table], snapshot_schema: pa.Schema) -> pa.Table:
+    """Fold an ordered chain (base first, newest delta last) into the
+    live table: per doc_id the highest-priority row wins; winning
+    tombstones (op="D") are dropped.  Output sorted by (hash, doc_id)
+    — same deterministic order the applier writes."""
+    if not tables:
+        return snapshot_schema.empty_table()
+    parts = []
+    for prio, t in enumerate(tables):
+        n = len(t)
+        op = (
+            t["op"].combine_chunks()
+            if "op" in t.schema.names
+            else pa.nulls(n, pa.string())
+        )
+        body = conform(t, snapshot_schema)
+        body = body.append_column("__op", op)
+        body = body.append_column("__prio", pa.array(np.full(n, prio, dtype=np.int32)))
+        body = body.append_column(
+            "doc_hash", pa.array(key_hash(body["doc_id"]).view(np.int64))
+        )
+        parts.append(body)
+    allt = pa.concat_tables(parts)
+    win = latest_per_key(allt, key="doc_id", order_col="__prio", hash_col="doc_hash")
+    live = win.filter(
+        pc.fill_null(pc.not_equal(win["__op"], "D"), True)  # base rows: op null
+    )
+    live = live.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
+    return live.drop_columns(["__op", "__prio", "doc_hash"])
+
+
+def read_chain(table_root: str, chain: list[dict], snapshot_schema: pa.Schema) -> pa.Table:
+    """Read + merge one partition's file chain (entries in epoch
+    order: ``[{"file": ..., "kind": ...}, ...]``)."""
+    import os
+
+    tables = [pq.read_table(os.path.join(table_root, e["file"])) for e in chain]
+    return merge_chain(tables, snapshot_schema)
+
+
+class PartitionMergeReader:
+    """map_batches stage over partition-descriptor rows (p, files json)
+    → merged live rows.  One partition per call (``batch_size=1``);
+    runs as tasks — each reads only its own chain (no shuffle)."""
+
+    def __init__(self, table_root: str, schema_b64: str):
+        self.table_root = table_root
+        self.schema = pa.ipc.read_schema(
+            pa.py_buffer(__import__("base64").b64decode(schema_b64))
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = []
+        for row in batch.to_pylist():
+            chain = json.loads(row["chain_json"])
+            out.append(read_chain(self.table_root, chain, self.schema))
+        return pa.concat_tables(out) if out else self.schema.empty_table()

@@ -127,6 +127,64 @@ class SimHashSignatureStage(SimHashBlockStage):
         return pa.table({"doc_id": batch["doc_id"], "sig": pa.array(sig)})
 
 
+def minhash_bands_from_sigs_batch(batch: pa.Table, bands: int) -> pa.Table:
+    """(doc_id, sig list<int64>) → exploded LSH band rows — derived
+    from the materialized signature dataset so the text is read and
+    hashed exactly ONCE per pipeline."""
+    sig_col = batch["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], batch["doc_id"].type),
+            }
+        )
+    flat = sig_col.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    sig = flat.reshape(n, -1)
+    bk = band_keys(sig, bands=bands)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_key": pa.array(bk.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, bands)),
+        }
+    )
+
+
+def simhash_blocks_from_sigs_batch(batch: pa.Table, blocks: int) -> pa.Table:
+    """(doc_id, sig int64) → exploded Hamming-LSH block rows."""
+    width = 64 // blocks
+    sig_col = batch["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "block": pa.array([], pa.int32()),
+                "block_val": pa.array([], pa.int64()),
+                "doc_id": pa.array([], batch["doc_id"].type),
+            }
+        )
+    sig = sig_col.to_numpy(zero_copy_only=False).view(np.uint64)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    shifts = (np.arange(blocks, dtype=np.uint64) * np.uint64(width))[None, :]
+    mask = np.uint64((1 << width) - 1)
+    vals = ((sig[:, None] >> shifts) & mask).astype(np.int64)
+    return pa.table(
+        {
+            "block": pa.array(np.tile(np.arange(blocks, dtype=np.int32), n)),
+            "block_val": pa.array(vals.reshape(-1)),
+            "doc_id": pa.array(np.repeat(doc_ids, blocks)),
+        }
+    )
+
+
 def bucket_pairs_group(group: pa.Table, max_bucket: int = 256) -> pa.Table:
     """All (doc_a < doc_b) pairs within one LSH bucket; oversized
     buckets are dropped (degenerate bands — see module docstring)."""

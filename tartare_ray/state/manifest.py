@@ -41,6 +41,12 @@ class PartitionLineage:
     lsn_hi: int
     events_applied: int
     bytes: int
+    # LSM chain support (delta write mode): a partition may have several
+    # entries — one "base" plus ordered "delta" files; ``epoch`` is the
+    # writing epoch (chain order).  Defaults keep pre-delta manifests
+    # loadable.
+    kind: str = "base"  # "base" | "delta"
+    epoch: int = 0
 
 
 @dataclass
