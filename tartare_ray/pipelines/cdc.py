@@ -288,7 +288,15 @@ class CdcEngine:
             return ray.data.from_arrow(empty)
         if all(pl.kind == "base" for pl in m.partitions):
             files = [f"{self.table_root}/{pl.file}" for pl in m.partitions]
-            return ray.data.read_parquet(files, schema=m.schema)
+            # no schema= override (pathological datasource ctor — see
+            # run_epoch); older files conform per batch instead.
+            ray.data.DataContext.get_current().decoding_size_estimation = False
+            target = m.schema
+            return ray.data.read_parquet(files).map_batches(
+                lambda b: conform(b, target),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         import json as _json
 
         from ..stages.compact import PartitionMergeReader
