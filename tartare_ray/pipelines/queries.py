@@ -337,6 +337,201 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------
+# Time-series joins & windows (custom operators Ray Data lacks — built as
+# map_batches + co-partitioned groupby().map_groups per SURVEY.md §2A J2/J4;
+# partitioning assumption: both sides hash-shuffled on the SAME key column,
+# per-group state = one user's sorted timeline, which is bounded)
+# --------------------------------------------------------------------------
+
+def window_agg(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate (1 h windows per event_type): window
+    assignment is a vectorized ``floor_temporal`` in map_batches, then an
+    ordinary partial-agg groupby on (type, window) — windows never hold
+    state, so this streams at any scale."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                "value": b["value"],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        # Ray's sort-shuffle narrows the key to timestamp[s]; restore µs
+        # so the driver's value-hash sees the oracle's exact dtype.
+        # Sum goes out as integer cents (house float convention).
+        cents = pc.cast(pc.round(pc.multiply(b["sum_value"], 100.0), ndigits=0), pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.cast(b["window_start"], pa.timestamp("us")),
+                "n_events": b["n_events"],
+                "sum_value_cents": cents,
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def _tagged_events(sf_dir: str, probe_type: str, ref_types: list[str]) -> ray.data.Dataset:
+    """Union of probe/reference event streams tagged with a side column,
+    pruned at the scan — the co-partitioned input both time-joins share."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        side = pc.cast(pc.equal(b["event_type"], probe_type), pa.int8())
+        keep = pc.or_(pc.equal(side, 1), pc.is_in(b["event_type"], pa.array(ref_types)))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "side": side,
+            }
+        ).filter(keep)
+
+    return _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def asof_join(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (Ray Data has no native one): for each purchase, the
+    latest click/view by the same user at or before it.  Both sides are
+    hash-partitioned by user in ONE shuffle (tagged union), then each
+    group does a sorted ``searchsorted`` merge — O(n log n) per user,
+    no cross-user state, no second exchange."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        side = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        probe = g.filter(pa.array(side == 1))
+        ref = g.filter(pa.array(side == 0)).sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        if len(probe) == 0 or len(ref) == 0:
+            return pa.table(
+                {
+                    "p_event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], g["user_id"].type),
+                    "m_event_id": pa.array([], pa.int64()),
+                    "m_event_type": pa.array([], pa.string()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        p_ts = probe["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        r_ts = ref["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        # rightmost ref with ts <= probe ts; ties on ts resolve to the
+        # max event_id because ref is sorted (ts, event_id) ascending
+        idx = np.searchsorted(r_ts, p_ts, side="right") - 1
+        hit = idx >= 0
+        idx = idx[hit]
+        probe = probe.filter(pa.array(hit))
+        return pa.table(
+            {
+                "p_event_id": probe["event_id"],
+                "user_id": probe["user_id"],
+                "m_event_id": ref["event_id"].take(pa.array(idx)),
+                "m_event_type": ref["event_type"].take(pa.array(idx)),
+                "gap_us": pa.array(p_ts[hit] - r_ts[idx], pa.int64()),
+            }
+        )
+
+    tagged = _tagged_events(sf_dir, "purchase", ["click", "view"])
+    return tagged.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def range_join(sf_dir: str) -> ray.data.Dataset:
+    """Interval join: per signup, count error events by the same user in
+    [ts, ts+24h).  Same single-shuffle co-partition as asof_join; the
+    per-group count is two binary searches, not a nested loop."""
+    day_us = 24 * 3600 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        side = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        probe = g.filter(pa.array(side == 1))
+        if len(probe) == 0:
+            return pa.table(
+                {
+                    "s_event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], g["user_id"].type),
+                    "n_errors_24h": pa.array([], pa.int64()),
+                }
+            )
+        ref = g.filter(pa.array(side == 0))
+        p_ts = probe["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        r_ts = np.sort(ref["ts"].combine_chunks().cast(pa.int64()).to_numpy())
+        n = np.searchsorted(r_ts, p_ts + day_us, side="left") - np.searchsorted(
+            r_ts, p_ts, side="left"
+        )
+        return pa.table(
+            {
+                "s_event_id": probe["event_id"],
+                "user_id": probe["user_id"],
+                "n_errors_24h": pa.array(n, pa.int64()),
+            }
+        )
+
+    tagged = _tagged_events(sf_dir, "signup", ["error"])
+    return tagged.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join via broadcast small side (SURVEY.md §2A J4): distinct
+    order custkeys are collected once and shipped through the object
+    store (``ray.put``), each customer batch drops members with a sorted
+    ``np.isin`` — no shuffle of the big side.  When the key set outgrows
+    a broadcast (~GBs), flip to the co-partitioned groupby path the
+    time-joins use."""
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keys = np.array(sorted(big.unique("o_custkey")), dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)  # node-local after first fetch
+        present = np.isin(b["c_custkey"].combine_chunks().to_numpy(), k, kind="sort")
+        return b.filter(pa.array(~present))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def count_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Grouped COUNT(DISTINCT): per-batch pyarrow distinct pre-reduce
+    (bounds the shuffle to unique pairs per block), exact pair groupby,
+    then a tiny recount — the two-level exact-distinct pattern that
+    scales where a naive distinct-to-driver does not."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .select_columns(["event_type", "n_users"])
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis (documents table)
 # --------------------------------------------------------------------------
 
@@ -655,6 +850,11 @@ QUERIES = {
     "json_extract": json_extract,
     "validity_period": validity_period,
     "sessionize": sessionize,
+    "window_agg": window_agg,
+    "asof_join": asof_join,
+    "range_join": range_join,
+    "anti_join": anti_join,
+    "count_distinct": count_distinct,
     "token_count": token_count,
     "text_stats": text_stats,
     "tokens_per_lang": tokens_per_lang,
@@ -749,6 +949,46 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                1 + sum(new_session) AS n_sessions
         FROM g GROUP BY user_id
+    """,
+    "window_agg": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "asof_join": """
+        SELECT p_event_id, user_id, m_event_id, m_event_type, gap_us FROM (
+            SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+                   m.event_id AS m_event_id, m.event_type AS m_event_type,
+                   date_diff('microsecond', m.ts, p.ts) AS gap_us,
+                   row_number() OVER (
+                       PARTITION BY p.event_id ORDER BY m.ts DESC, m.event_id DESC
+                   ) AS rn
+            FROM events p JOIN events m
+              ON m.user_id = p.user_id AND m.ts <= p.ts
+             AND m.event_type IN ('click', 'view')
+            WHERE p.event_type = 'purchase'
+        ) WHERE rn = 1
+    """,
+    "range_join": """
+        SELECT s.event_id AS s_event_id, s.user_id AS user_id,
+               count(e.event_id) AS n_errors_24h
+        FROM events s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'error'
+         AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 24 HOUR
+        WHERE s.event_type = 'signup'
+        GROUP BY s.event_id, s.user_id
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+    """,
+    "count_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "token_count": """
         SELECT doc_id,

@@ -176,3 +176,46 @@ def test_cli_gen_detect_replay_publish(tmp_path):
     assert out["published_epoch"] >= 1
     out = cli("gc", "--table-root", table, "--keep-last", "1")
     assert out["files_removed"] >= 0
+
+
+def test_cli_tail_follows_appends(tmp_path, ray_session):
+    """Live tail: files fed into the log dir one wave at a time; each
+    wave commits its own epoch, and the final table equals the full-log
+    oracle (continuous-ingest mode of __main__.py)."""
+    import shutil
+    import time
+
+    from tartare_ray.gen import GenConfig, generate_log
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(staging, GenConfig(n_events=4000, n_docs=400, events_per_file=2000))
+    assert len(res.files) == 2
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    os.makedirs(log)
+    shutil.copy(res.files[0], log)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "tartare_ray", "tail",
+            "--log-dir", log, "--table-root", table,
+            "--num-partitions", "4", "--poll-interval", "0.5", "--max-polls", "4",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env, cwd="/root/repo",
+    )
+    try:
+        line1 = json.loads(proc.stdout.readline())
+        assert line1["epoch"] == 1 and line1["watermark"] == 1999
+        shutil.copy(res.files[1], log)
+        line2 = json.loads(proc.stdout.readline())
+        assert line2["epoch"] == 2 and line2["watermark"] == 3999
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    eng = CdcEngine(log, table, EngineConfig(num_partitions=4))
+    from tests.test_cdc_engine import assert_tables_equal
+
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
