@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "hash_join",
     "topk_sort",
     "latest_event_per_user",
+    "asof_join",
+    "window_agg",
     "sessionize",
     "token_count",
     "exact_dedup",

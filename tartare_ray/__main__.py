@@ -50,7 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_engine_args(sp):
-        sp.add_argument("--log-dir", required=True)
+        sp.add_argument(
+            "--log-dir", action="append", required=True,
+            help="change-log directory; repeat for an N-source union (shared LSN sequencer)",
+        )
         sp.add_argument("--table-root", required=True)
         sp.add_argument("--num-partitions", type=int, default=64)
         sp.add_argument("--salts", type=int, default=None)

@@ -107,7 +107,14 @@ def _salted_pre_reduce(ds: ray.data.Dataset, salts: int) -> ray.data.Dataset:
 
 
 class CdcEngine:
-    def __init__(self, log_dir: str, table_root: str, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        log_dir: str | list[str],
+        table_root: str,
+        cfg: EngineConfig | None = None,
+    ):
+        # One dir, or many (N-source union over a shared global LSN
+        # sequencer — sources/tail.py docstring for the cut invariant).
         self.log_dir = log_dir
         self.table_root = table_root
         self.cfg = cfg or EngineConfig()

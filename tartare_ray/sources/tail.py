@@ -20,6 +20,7 @@ validate stage (duplicate-delivery safety).
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 import pyarrow.parquet as pq
@@ -58,19 +59,27 @@ def _lsn_range(path: str) -> tuple[int, int, int, int]:
     return int(lo), int(hi), md.num_rows, nbytes
 
 
-def list_log_files(log_dir: str) -> list[LogFile]:
+def list_log_files(log_dir: str | Sequence[str]) -> list[LogFile]:
+    """One or many log directories (N-source union, SURVEY.md §2A D2:
+    tartare's coverage merging N contributor streams).  All sources must
+    share ONE global LSN sequencer (sharded WAL segments of a single
+    log): the merged listing is ordered by min_lsn, and
+    ``plan_epoch``'s completeness chase keeps every epoch cut
+    LSN-complete across sources."""
+    dirs = [log_dir] if isinstance(log_dir, str) else list(log_dir)
     out = []
-    for name in sorted(os.listdir(log_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        path = os.path.join(log_dir, name)
-        lo, hi, n, nb = _lsn_range(path)
-        out.append(LogFile(path, lo, hi, n, nb))
+    for d in dirs:
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(d, name)
+            lo, hi, n, nb = _lsn_range(path)
+            out.append(LogFile(path, lo, hi, n, nb))
     out.sort(key=lambda f: f.min_lsn)
     return out
 
 
-def pending_files(log_dir: str, watermark: int) -> list[LogFile]:
+def pending_files(log_dir: str | Sequence[str], watermark: int) -> list[LogFile]:
     return [f for f in list_log_files(log_dir) if f.max_lsn > watermark]
 
 
@@ -103,4 +112,17 @@ def plan_epoch(
         chosen.append(f)
         events += f.num_rows
         nbytes += f.bytes_uncompressed
+    # LSN-completeness chase (multi-source): the commit invariant is
+    # "every lsn <= watermark is applied", so any unchosen file whose
+    # range dips below the cut's watermark must join this epoch even
+    # past the size bounds (progress/correctness over bound; interleaved
+    # sources degrade toward one big epoch, disjoint ranges cost zero).
+    watermark = max(f.max_lsn for f in chosen)
+    i = len(chosen)
+    while i < len(pending):
+        if pending[i].min_lsn > watermark:
+            break
+        chosen.append(pending[i])
+        watermark = max(watermark, pending[i].max_lsn)
+        i += 1
     return chosen

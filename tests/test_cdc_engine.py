@@ -164,3 +164,62 @@ def test_quarantine_malformed_rows(ray_session, tmp_path):
     qdir = os.path.join(root, "_quarantine", "e000001")
     qrows = sum(pq.read_metadata(os.path.join(qdir, f)).num_rows for f in os.listdir(qdir))
     assert qrows == 2
+
+
+def test_multi_source_union_matches_oracle(ray_session, tmp_path):
+    """N-source union (SURVEY.md §2A D2): one global-LSN log split
+    round-robin across 3 directories replays to the same table as the
+    single-dir layout."""
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(staging, GenConfig(n_events=6000, n_docs=500, events_per_file=1000))
+    dirs = [str(tmp_path / f"src{k}") for k in range(3)]
+    for d in dirs:
+        os.makedirs(d)
+    for i, f in enumerate(res.files):
+        shutil.copy(f, dirs[i % 3])
+    eng = CdcEngine(dirs, str(tmp_path / "table"), EngineConfig(num_partitions=4))
+    eng.replay()
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_multi_source_epoch_cut_is_lsn_complete(ray_session, tmp_path):
+    """Interleaved sources + a tiny epoch bound: the planner must chase
+    overlapping files into the epoch so no committed watermark ever
+    skips unapplied rows (the multi-source data-loss hazard)."""
+    import shutil
+
+    from tartare_ray.sources.tail import pending_files, plan_epoch
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(staging, GenConfig(n_events=6000, n_docs=500, events_per_file=1000))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    for i, f in enumerate(res.files):
+        shutil.copy(f, a if i % 2 == 0 else b)
+    # epoch_max_files=1 would under-cut; the chase must keep each epoch
+    # a contiguous LSN prefix across both dirs
+    plan = plan_epoch(pending_files([a, b], -1), max_files=1)
+    assert len(plan) == 1  # disjoint ranges: no chase needed, bound holds
+    eng = CdcEngine([a, b], str(tmp_path / "t"), EngineConfig(num_partitions=4, epoch_max_files=1))
+    m = eng.replay()
+    assert m.epoch == len(res.files)  # one epoch per file, in LSN order
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+    # truly interleaved row ranges: build two files whose LSN ranges
+    # overlap and verify the chase pulls both into one epoch
+    import pyarrow.parquet as pqq
+
+    t = pqq.read_table(res.files[0])
+    even, odd = str(tmp_path / "ev"), str(tmp_path / "od")
+    os.makedirs(even), os.makedirs(odd)
+    import pyarrow.compute as pcc
+
+    lsn = t["lsn"]
+    pqq.write_table(t.filter(pcc.equal(pcc.bit_wise_and(lsn, 1), 0)), f"{even}/events-000000.parquet")
+    pqq.write_table(t.filter(pcc.equal(pcc.bit_wise_and(lsn, 1), 1)), f"{odd}/events-000000.parquet")
+    plan = plan_epoch(pending_files([even, odd], -1), max_files=1)
+    assert len(plan) == 2  # chase overrides the bound — correctness first
+    eng2 = CdcEngine([even, odd], str(tmp_path / "t2"), EngineConfig(num_partitions=4, epoch_max_files=1))
+    eng2.replay()
+    assert_tables_equal(eng2.snapshot_table(), replay_oracle([res.files[0]]))
