@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--keep-last", type=int, default=2)
 
+    sp = sub.add_parser("compact", help="fold delta chains into fresh bases (no new events)")
+    add_engine_args(sp)
+
     sp = sub.add_parser("detect-hot-keys", help="sample the log, recommend a salt count")
     sp.add_argument("--log-dir", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
@@ -131,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": "empty", "epoch": None}))
         else:
             print(json.dumps({"status": "committed", "epoch": m.epoch, "watermark": m.watermark_lsn}))
+        return 0
+
+    if args.cmd == "compact":
+        m = eng.compact()
+        if m is None:
+            print(json.dumps({"status": "noop"}))
+        else:
+            print(json.dumps({"status": "committed", "epoch": m.epoch,
+                              "partitions": len(m.partitions)}))
         return 0
 
     if args.cmd == "tail":

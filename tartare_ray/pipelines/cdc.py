@@ -32,13 +32,14 @@ from ..schema import (
     schema_fingerprint,
     unify_with_widening,
 )
-from ..sources.tail import LogFile, pending_files, plan_epoch
+from ..sources.tail import LogFile, list_log_files, pending_files, plan_epoch
 from ..state.manifest import (
     Manifest,
     PartitionLineage,
     commit_manifest,
     gc_orphans,
     load_current,
+    load_epoch,
 )
 from ..stages.apply import MergeApplier
 from ..stages.validate import ValidatePartitionStage
@@ -281,15 +282,21 @@ class CdcEngine:
             chains.setdefault(pl.p, []).append({"file": pl.file, "kind": pl.kind})
         return chains
 
-    def snapshot_dataset(self) -> ray.data.Dataset:
+    def _manifest_at(self, epoch: int | None) -> Manifest | None:
+        if epoch is None:
+            return load_current(self.table_root)
+        return load_epoch(self.table_root, epoch)
+
+    def snapshot_dataset(self, epoch: int | None = None) -> ray.data.Dataset:
         """The committed table as a streaming Dataset (conformed to the
         manifest schema — older partition files evolve lazily at read).
+        ``epoch`` time-travels to any un-GC'd committed epoch.
 
         Pure-base manifests (cow, or delta fully compacted) stream via
         ``read_parquet``; manifests with live delta chains go through a
         per-partition merge stage (``stages/compact.py``) — one task per
         partition, no shuffle."""
-        m = load_current(self.table_root)
+        m = self._manifest_at(epoch)
         if m is None or not m.partitions:
             empty = (m.schema if m else self.cfg.initial_schema).empty_table()
             return ray.data.from_arrow(empty)
@@ -318,12 +325,123 @@ class CdcEngine:
             batch_size=1,
         )
 
-    def snapshot_table(self) -> pa.Table:
+    def changes_dataset(self, epoch: int) -> ray.data.Dataset:
+        """The downstream change feed of one committed epoch: the
+        latest-per-key winners it applied, tombstones included, with
+        the (op, lsn) envelope — what a consumer replicating this
+        table needs per epoch (tartare's per-export publication feed
+        analogue).
+
+        Delta-mode epochs serve it straight from their delta files
+        (zero recompute); cow/compaction epochs re-derive it from the
+        log's (parent_watermark, watermark] range with the same
+        associative latest-per-key reduce the applier ran."""
+        import pyarrow.compute as pc
+
+        from ..stages.kernels import latest_per_key
+
+        m = load_epoch(self.table_root, epoch)
+        feed_schema = pa.schema(
+            [CHANGE_SCHEMA.field("op"), CHANGE_SCHEMA.field("lsn")] + list(m.schema)
+        )
+        touched = [pl for pl in m.partitions if pl.epoch == epoch]
+        if touched and all(pl.kind == "delta" for pl in touched):
+            files = [f"{self.table_root}/{pl.file}" for pl in touched]
+            return ray.data.read_parquet(files).map_batches(
+                lambda b: conform(b, feed_schema),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        prev_w = (
+            load_epoch(self.table_root, m.parent_epoch).watermark_lsn
+            if m.parent_epoch is not None
+            else -1
+        )
+        hi = m.watermark_lsn
+        log_files = [
+            f.path
+            for f in list_log_files(self.log_dir)
+            if f.max_lsn > prev_w and f.min_lsn <= hi
+        ]
+        if not log_files:
+            return ray.data.from_arrow(feed_schema.empty_table())
+
+        def in_range(b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater(b["lsn"], prev_w), pc.less_equal(b["lsn"], hi))
+            return latest_per_key(conform(b.filter(keep), feed_schema), "doc_id", "lsn")
+
+        ds = ray.data.read_parquet(log_files).map_batches(
+            in_range, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.groupby("doc_id").map_groups(
+            lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
+        )
+
+    def compact(self) -> Manifest | None:
+        """Fold every live delta chain into a fresh base (tombstones
+        physically dropped) and commit it as a new epoch at the SAME
+        watermark — one task per partition, no shuffle.  No-op (returns
+        None) when the table is already all-base."""
+        import json as _json
+
+        from ..stages.compact import PartitionCompactor
+
+        cur = load_current(self.table_root)
+        if cur is None or all(pl.kind == "base" for pl in cur.partitions):
+            return None
+        epoch = cur.epoch + 1
+        chains = self._chains(cur)
+        spans = {
+            p: (
+                min(pl.lsn_lo for pl in cur.partitions if pl.p == p),
+                max(pl.lsn_hi for pl in cur.partitions if pl.p == p),
+            )
+            for p in chains
+        }
+        items = [
+            {
+                "p": p,
+                "chain_json": _json.dumps(chain),
+                "lsn_lo": spans[p][0],
+                "lsn_hi": spans[p][1],
+            }
+            for p, chain in sorted(chains.items())
+            if not (len(chain) == 1 and chain[0]["kind"] == "base")
+        ]
+        lineage_rows = (
+            ray.data.from_items(items)
+            .map_batches(
+                PartitionCompactor(self.table_root, cur.schema_b64, epoch, self.cfg.compression),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .take_all()
+        )
+        touched = {int(r["p"]) for r in lineage_rows}
+        partitions = [
+            PartitionLineage(**{**r, "p": int(r["p"]), "epoch": epoch})
+            for r in lineage_rows
+        ]
+        partitions += [pl for pl in cur.partitions if pl.p not in touched]
+        partitions.sort(key=lambda pl: (pl.p, pl.epoch))
+        m = Manifest(
+            epoch=epoch,
+            parent_epoch=cur.epoch,
+            watermark_lsn=cur.watermark_lsn,
+            schema_b64=cur.schema_b64,
+            schema_fingerprint=cur.schema_fingerprint,
+            partitions=partitions,
+        )
+        self._commit(m)
+        return m
+
+    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Whole snapshot as one Arrow table, sorted by doc_id — tests
-        and small results only (materializes on the driver)."""
+        and small results only (materializes on the driver).  ``epoch``
+        time-travels to any un-GC'd committed epoch."""
         from ..stages.compact import merge_chain
 
-        m = load_current(self.table_root)
+        m = self._manifest_at(epoch)
         if m is None:
             return self.cfg.initial_schema.empty_table()
         tables = []

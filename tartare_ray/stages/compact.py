@@ -93,3 +93,47 @@ class PartitionMergeReader:
             chain = json.loads(row["chain_json"])
             out.append(read_chain(self.table_root, chain, self.schema))
         return pa.concat_tables(out) if out else self.schema.empty_table()
+
+
+class PartitionCompactor:
+    """map_batches stage over partition-descriptor rows → one fresh
+    BASE file per partition (``CdcEngine.compact``: fold every live
+    delta chain, drop tombstones, no new events).  Write is
+    tmp+rename so a retried task is harmless; output name is the
+    deterministic ``part-{p}-e{epoch}`` of the compaction epoch."""
+
+    def __init__(self, table_root: str, schema_b64: str, epoch: int, compression: str = "zstd"):
+        self.table_root = table_root
+        self.schema = pa.ipc.read_schema(
+            pa.py_buffer(__import__("base64").b64decode(schema_b64))
+        )
+        self.epoch = epoch
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+        import os
+
+        rows = []
+        for row in batch.to_pylist():
+            p = int(row["p"])
+            chain = json.loads(row["chain_json"])
+            merged = read_chain(self.table_root, chain, self.schema)
+            fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
+            path = os.path.join(self.table_root, "data", fname)
+            tmp = path + ".inprogress"
+            pq.write_table(merged, tmp, compression=self.compression)
+            os.replace(tmp, path)
+            rows.append(
+                {
+                    "p": p,
+                    "file": os.path.join("data", fname),
+                    "kind": "base",
+                    "rows": len(merged),
+                    "lsn_lo": int(row["lsn_lo"]),
+                    "lsn_hi": int(row["lsn_hi"]),
+                    "events_applied": 0,
+                    "bytes": os.path.getsize(path),
+                }
+            )
+        return pa.Table.from_pylist(rows)

@@ -74,16 +74,23 @@ def _manifest_path(table_root: str, epoch: int) -> str:
     return os.path.join(table_root, "_manifests", f"e{epoch:06d}.json")
 
 
+def load_epoch(table_root: str, epoch: int) -> Manifest:
+    """A committed epoch's manifest — time travel to any epoch still
+    retained by ``gc_epochs`` (tartare's immutable dated Export
+    analogue: every epoch is a readable artifact until GC'd)."""
+    with open(_manifest_path(table_root, epoch)) as f:
+        d = json.load(f)
+    d["partitions"] = [PartitionLineage(**p) for p in d["partitions"]]
+    return Manifest(**d)
+
+
 def load_current(table_root: str) -> Manifest | None:
     cur = os.path.join(table_root, "_manifests", "CURRENT")
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
         epoch = int(f.read().strip())
-    with open(_manifest_path(table_root, epoch)) as f:
-        d = json.load(f)
-    d["partitions"] = [PartitionLineage(**p) for p in d["partitions"]]
-    return Manifest(**d)
+    return load_epoch(table_root, epoch)
 
 
 def _atomic_write(path: str, data: str) -> None:

@@ -91,3 +91,85 @@ def test_delta_rerun_noop(delta_engine):
     m = eng.replay()
     m2 = eng.replay()
     assert m2.epoch == m.epoch and m2.watermark_lsn == m.watermark_lsn
+
+
+def test_time_travel_and_change_feed(delta_engine):
+    """snapshot_table(epoch=k) must equal the oracle over the log
+    prefix committed by epoch k; changes_dataset(k) must be the
+    latest-per-key winners of epoch k's LSN range (delta fast path
+    and log-derived path agree)."""
+    from tartare_ray.state.manifest import load_epoch
+
+    eng, res = delta_engine
+    eng.replay()
+    for k in (1, 3, 5):
+        mk = load_epoch(eng.table_root, k)
+        prefix = [f for f in res.files]  # files are LSN-ordered, 1000 rows each
+        snap = eng.snapshot_table(epoch=k)
+        exp = replay_oracle(prefix[:k])
+        assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+        for col in set(snap.schema.names) & set(exp.schema.names):
+            assert snap[col].to_pylist() == exp[col].to_pylist(), (k, col)
+        import pyarrow as pa
+
+        feed = pa.concat_tables(
+            eng.changes_dataset(k).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        lo = load_epoch(eng.table_root, k - 1).watermark_lsn if k > 1 else -1
+        lsns = feed["lsn"].to_pylist()
+        assert all(lo < x <= mk.watermark_lsn for x in lsns)
+        ids = feed["doc_id"].to_pylist()
+        assert len(ids) == len(set(ids))
+        assert set(feed["op"].to_pylist()) <= {"I", "U", "D"}
+        # feed carries the full snapshot payload schema + envelope
+        assert set(mk.schema.names) <= set(feed.schema.names)
+
+
+def test_change_feed_paths_agree(tmp_log, ray_session):
+    """cow (log-derived) and delta (file-served) change feeds for the
+    same epoch are identical."""
+    res, cfg, tmp_path = tmp_log
+    log = os.path.dirname(res.files[0])
+    feeds = {}
+    for mode in ("cow", "delta"):
+        eng = CdcEngine(
+            log, str(tmp_path / f"t-{mode}"),
+            EngineConfig(num_partitions=4, epoch_max_files=1, write_mode=mode),
+        )
+        import pyarrow as pa
+
+        eng.run_epoch(); eng.run_epoch()
+        t = pa.concat_tables(
+            eng.changes_dataset(2).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        feeds[mode] = t.select(sorted(t.schema.names)).sort_by([("doc_id", "ascending")])
+    a, b = feeds["cow"], feeds["delta"]
+    assert a.schema.names == b.schema.names
+    assert len(a) == len(b)
+    for c in a.schema.names:
+        assert a[c].to_pylist() == b[c].to_pylist(), c
+
+
+def test_explicit_compact_folds_all_chains(tmp_log, ray_session):
+    res, cfg, tmp_path = tmp_log
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "table-compact"),
+        EngineConfig(
+            num_partitions=4, epoch_max_files=1, write_mode="delta",
+            compact_chain_len=100,  # never auto-compacts: chains stay live
+        ),
+    )
+    eng.replay()
+    cur = load_current(eng.table_root)
+    assert any(pl.kind == "delta" for pl in cur.partitions)
+    snap_before = eng.snapshot_table()
+    m = eng.compact()
+    assert m is not None and all(pl.kind == "base" for pl in m.partitions)
+    assert m.watermark_lsn == 4999
+    snap_after = eng.snapshot_table()
+    assert snap_before["doc_id"].to_pylist() == snap_after["doc_id"].to_pylist()
+    for col in snap_before.schema.names:
+        assert snap_before[col].to_pylist() == snap_after[col].to_pylist(), col
+    # idempotent: second compact is a no-op
+    assert eng.compact() is None

@@ -176,6 +176,8 @@ def test_cli_gen_detect_replay_publish(tmp_path):
     assert out["published_epoch"] >= 1
     out = cli("gc", "--table-root", table, "--keep-last", "1")
     assert out["files_removed"] >= 0
+    out = cli("compact", "--log-dir", log, "--table-root", table)
+    assert out["status"] == "noop"  # cow replay leaves no delta chains
 
 
 def test_cli_tail_follows_appends(tmp_path, ray_session):
