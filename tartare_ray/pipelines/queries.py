@@ -484,6 +484,21 @@ def range_join(sf_dir: str) -> ray.data.Dataset:
     return tagged.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def grouped_quantile(sf_dir: str) -> pa.Table:
+    """EXACT p50/p90 of l_extendedprice per returnflag without a global
+    sort: 3-pass histogram refinement (stages/quantile.py) — per-block
+    partials only, no shuffle, O(groups × bins) driver state.  The disc
+    quantile is an actual element, so the oracle match is exact."""
+    from ..stages.quantile import grouped_quantile_exact
+
+    return grouped_quantile_exact(
+        lambda: _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        key="l_returnflag",
+        col="l_extendedprice",
+        qs=[0.5, 0.9],
+    )
+
+
 def anti_join(sf_dir: str) -> ray.data.Dataset:
     """Anti-join via broadcast small side (SURVEY.md §2A J4): distinct
     order custkeys are collected once and shipped through the object
@@ -853,6 +868,7 @@ QUERIES = {
     "window_agg": window_agg,
     "asof_join": asof_join,
     "range_join": range_join,
+    "grouped_quantile": grouped_quantile,
     "anti_join": anti_join,
     "count_distinct": count_distinct,
     "token_count": token_count,
@@ -978,6 +994,12 @@ ORACLE_SQL = {
          AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 24 HOUR
         WHERE s.event_type = 'signup'
         GROUP BY s.event_id, s.user_id
+    """,
+    "grouped_quantile": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag
     """,
     "anti_join": """
         SELECT c_custkey, c_name FROM customer c

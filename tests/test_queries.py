@@ -75,3 +75,33 @@ def test_rows_only_queries_run(ray_session):
         if hasattr(df, "to_pandas"):
             df = df.to_pandas()
         assert list(df.columns) == cols, name
+
+
+def test_grouped_quantile_exact_randomized(ray_session):
+    """Histogram-refinement quantile == full-sort quantile on skewed
+    data with heavy duplicates and tiny groups (rank = ceil(q*n)-1)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tartare_ray.stages.quantile import grouped_quantile_exact
+
+    rng = np.random.default_rng(7)
+    ks = rng.choice(["a", "b", "c", "tiny"], p=[0.5, 0.3, 0.199, 0.001], size=20000)
+    vals = np.where(
+        rng.random(20000) < 0.3,
+        np.round(rng.exponential(100, 20000), 0),  # heavy duplicates
+        rng.normal(0, 1000, 20000),
+    )
+    tbl = pa.table({"k": ks, "v": vals})
+    qs = [0.01, 0.5, 0.9, 0.99]
+    got = grouped_quantile_exact(
+        lambda: ray.data.from_arrow(tbl).repartition(8), "k", "v", qs, bins=64
+    ).to_pandas().set_index("k")
+    for k in np.unique(ks):
+        s = np.sort(vals[ks == k])
+        for q in qs:
+            r = max(0, math.ceil(q * len(s)) - 1)
+            assert got.loc[k, f"p{round(q*100):02d}"] == s[r], (k, q)
