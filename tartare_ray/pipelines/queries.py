@@ -484,6 +484,18 @@ def range_join(sf_dir: str) -> ray.data.Dataset:
     return tagged.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def approx_count_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct users per event_type — the no-shuffle scale
+    path beside the exact ``count_distinct`` (rows-only driver check;
+    ≤2% error vs exact asserted in pytest).  One streaming pass,
+    associative register-max merge (stages/sketch.py)."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    return grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
 def grouped_quantile(sf_dir: str) -> pa.Table:
     """EXACT p50/p90 of l_extendedprice per returnflag without a global
     sort: 3-pass histogram refinement (stages/quantile.py) — per-block
@@ -868,6 +880,7 @@ QUERIES = {
     "window_agg": window_agg,
     "asof_join": asof_join,
     "range_join": range_join,
+    "approx_count_distinct": approx_count_distinct,
     "grouped_quantile": grouped_quantile,
     "anti_join": anti_join,
     "count_distinct": count_distinct,

@@ -105,3 +105,42 @@ def test_grouped_quantile_exact_randomized(ray_session):
         for q in qs:
             r = max(0, math.ceil(q * len(s)) - 1)
             assert got.loc[k, f"p{round(q*100):02d}"] == s[r], (k, q)
+
+
+def test_approx_count_distinct_accuracy(ray_session):
+    """HLL estimate within 2% of exact per group (p=14 → ~0.8% typical),
+    and invariant to block layout (register merge is associative)."""
+    import duckdb
+
+    from tartare_ray.pipelines.queries import approx_count_distinct
+
+    got = approx_count_distinct(SF).to_pandas().set_index("event_type")
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) n FROM "
+            f"read_parquet('{SF}/events.parquet') GROUP BY 1"
+        )
+        .df()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        e, a = int(exact.loc[et, "n"]), int(got.loc[et, "approx_n_distinct"])
+        assert abs(a - e) <= max(2, 0.02 * e), (et, a, e)
+
+
+def test_hll_merge_is_block_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tartare_ray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {"k": rng.choice(["x", "y"], 50000), "v": rng.integers(0, 8000, 50000)}
+    )
+    a = grouped_approx_distinct(ray.data.from_arrow(t), "k", "v").to_pylist()
+    b = grouped_approx_distinct(
+        ray.data.from_arrow(t).repartition(13), "k", "v"
+    ).to_pylist()
+    assert a == b
