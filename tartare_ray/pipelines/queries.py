@@ -484,6 +484,45 @@ def range_join(sf_dir: str) -> ray.data.Dataset:
     return tagged.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def broadcast_join(sf_dir: str) -> ray.data.Dataset:
+    """Dimension enrichment via broadcast lookup (SURVEY.md §2A M5/J1 —
+    tartare's ComputeDirections config-map fill): nation and region are
+    tiny, so they ship once through the object store and each customer
+    batch resolves names with vectorized int indexing — the big side
+    never shuffles (vs hash_join, which exercises Dataset.join)."""
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    n_key = nation["n_nationkey"].to_numpy()
+    lut_nation = np.empty(n_key.max() + 1, dtype=object)
+    lut_nation[n_key] = nation["n_name"].to_numpy(zero_copy_only=False)
+    lut_nregion = np.zeros(n_key.max() + 1, dtype=np.int64)
+    lut_nregion[n_key] = nation["n_regionkey"].to_numpy()
+    r_key = region["r_regionkey"].to_numpy()
+    lut_region = np.empty(r_key.max() + 1, dtype=object)
+    lut_region[r_key] = region["r_name"].to_numpy(zero_copy_only=False)
+    luts = ray.put((lut_nation, lut_nregion, lut_region))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ln, lnr, lr = ray.get(luts)  # node-local after first fetch
+        nk = b["c_nationkey"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "nation": pa.array(ln[nk], pa.string()),
+                "region": pa.array(lr[lnr[nk]], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        enrich, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def approx_count_distinct(sf_dir: str) -> pa.Table:
     """HyperLogLog distinct users per event_type — the no-shuffle scale
     path beside the exact ``count_distinct`` (rows-only driver check;
@@ -837,6 +876,18 @@ def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
     return flagship_snapshot_summary(sf_dir)
 
 
+def cdc_incremental_view(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained count/sum view over the flagship table
+    (pipelines/views.py): folded per-epoch from the change feed —
+    retraction of each key's previous state + its new contribution —
+    never rescanning the snapshot.  Rows-only driver check; equality
+    with the direct aggregate is asserted in pytest per epoch."""
+    from .views import IncrementalAggView
+
+    eng = run_flagship(sf_dir)
+    return IncrementalAggView(eng, "by_source", "source", "n_tok").as_table()
+
+
 def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     """Schema-evolution evidence: the committed manifest's schema and
     per-partition lineage after the evolving replay."""
@@ -880,6 +931,7 @@ QUERIES = {
     "window_agg": window_agg,
     "asof_join": asof_join,
     "range_join": range_join,
+    "broadcast_join": broadcast_join,
     "approx_count_distinct": approx_count_distinct,
     "grouped_quantile": grouped_quantile,
     "anti_join": anti_join,
@@ -898,6 +950,7 @@ QUERIES = {
     "ann_lsh_pairs": ann_lsh_pairs,
     "multimodal_meta": multimodal_meta,
     "cdc_apply_small": cdc_apply_small,
+    "cdc_incremental_view": cdc_incremental_view,
     "cdc_schema_evolution": cdc_schema_evolution,
 }
 
@@ -1007,6 +1060,12 @@ ORACLE_SQL = {
          AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 24 HOUR
         WHERE s.event_type = 'signup'
         GROUP BY s.event_id, s.user_id
+    """,
+    "broadcast_join": """
+        SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
     """,
     "grouped_quantile": """
         SELECT l_returnflag,
