@@ -636,6 +636,28 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def corpus_filter(sf_dir: str) -> ray.data.Dataset:
+    """Training-corpus curation: quality-feature computation fused with
+    the keep-predicate in one map_batches pass — the shape of a
+    pre-training data cleaning stage (score → threshold → keep), fully
+    streaming, integer features only (exact oracle)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = TX.text_stats_batch(b)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(s["n_words"], 8),
+                pc.less_equal(s["n_chars"], 1200),
+            ),
+            pc.greater_equal(pc.multiply(s["n_stopwords"], 10), s["n_words"]),
+        )
+        return s.filter(keep)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: group by normalized text, keep min(doc_id).  At
     100 TB the groupby key becomes the 64-bit fingerprint (above) so the
@@ -820,6 +842,48 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def ann_ivf_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 5, n_clusters: int = 16, nprobe: int = 4
+) -> ray.data.Dataset:
+    """IVF approximate top-k — the coarse-quantizer scale path beside
+    the exact ``ann_topk``: spherical-kmeans centroids trained on a
+    driver-side sample, each query probes its ``nprobe`` nearest
+    cells, and one corpus pass scans only probed cells (~nprobe/k of
+    the data per query).  Rows-only driver check; recall vs the exact
+    brute force asserted in pytest."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sample = tbl.slice(0, min(4096, len(tbl)))
+    train = S.l2_normalize(S.embedding_matrix(sample))
+    centroids = S.spherical_kmeans(train, n_clusters)
+    qmask = pc.less(tbl["vec_id"], n_queries)
+    qsub = tbl.filter(qmask)
+    q_ids = qsub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = S.l2_normalize(S.embedding_matrix(qsub))
+    probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            probe_map.setdefault(int(c), []).append(qi)
+    probe_map = {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()}
+    cref, qref = ray.put(centroids), ray.put((q_ids, qm))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.IVFProbeStage,
+        fn_constructor_kwargs=dict(
+            centroids_ref=cref, queries_ref=qref, probe_map=probe_map, k=k
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    final = ds.groupby("q_id").map_groups(
+        lambda g: S.topk_group(g, k), batch_format="pyarrow"
+    )
+    return final.select_columns(["q_id", "vec_id", "rank"])
+
+
 def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     """LSH-bucketed near-dup (the 100 TB path): hyperplane sketch →
     bucket groupby → within-bucket exact cosine.  Approximate — recall
@@ -941,12 +1005,14 @@ QUERIES = {
     "tokens_per_lang": tokens_per_lang,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ann_topk": ann_topk,
     "embedding_dedup": embedding_dedup,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "multimodal_meta": multimodal_meta,
     "cdc_apply_small": cdc_apply_small,
@@ -1101,6 +1167,15 @@ ORACLE_SQL = {
                sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_words,
                count(*) AS n_docs
         FROM documents GROUP BY lang
+    """,
+    "corpus_filter": """
+        SELECT doc_id, n_chars, n_words, n_stopwords FROM (
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> w IN ('the', 'a'))) AS n_stopwords
+            FROM documents
+        ) WHERE n_words >= 8 AND n_chars <= 1200 AND n_stopwords * 10 >= n_words
     """,
     "exact_dedup": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -173,3 +173,65 @@ class BucketPairsVerifyStage:
                 "cos": pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
             }
         )
+
+
+# -- IVF (inverted-file) ANN — the coarse-quantizer scale path ------------
+
+def spherical_kmeans(train: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side Lloyd iterations on a SAMPLE (train is already
+    l2-normalized; assignment by max dot = min cosine distance).
+    Deterministic; k × dim floats broadcast to every task."""
+    rng = np.random.default_rng(seed)
+    c = train[rng.choice(len(train), size=min(k, len(train)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = train[assign == j]
+            if len(sel):
+                c[j] = sel.sum(axis=0)
+        c = l2_normalize(c)
+    return c
+
+
+class IVFProbeStage:
+    """One pass over the corpus: assign each vector to its nearest
+    centroid, keep only vectors in a cluster some query probes, and
+    emit partial top-k rows (q_id, vec_id, cos) against exactly the
+    queries probing that cluster.  At scale this is the standard IVF
+    read pattern: nprobe/k of the corpus is scanned per query instead
+    of all of it — the assignment can also be precomputed and stored
+    partitioned by cluster, making the scan a partition-pruned read."""
+
+    def __init__(self, centroids_ref, queries_ref, probe_map, k: int):
+        self.centroids = ray.get(centroids_ref)
+        self.q_ids, self.q = ray.get(queries_ref)
+        self.probe_map = probe_map  # cluster -> np.ndarray of query row indices
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = l2_normalize(embedding_matrix(batch))
+        assign = np.argmax(m @ self.centroids.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for cl in np.unique(assign):
+            q_rows = self.probe_map.get(int(cl))
+            if q_rows is None or not len(q_rows):
+                continue
+            sel = assign == cl
+            sims = self.q[q_rows] @ m[sel].T  # (nq, ncl)
+            vids = ids[sel]
+            for qi, row in zip(q_rows, sims):
+                nk = min(self.k + 1, len(row))
+                top = np.argpartition(-row, nk - 1)[:nk]
+                for t in top:
+                    if vids[t] != self.q_ids[qi]:
+                        out_q.append(self.q_ids[qi])
+                        out_v.append(vids[t])
+                        out_c.append(row[t])
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )

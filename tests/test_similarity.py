@@ -59,3 +59,18 @@ def test_multimodal_decode_stub_contract(ray_session):
     assert out["byte_len"].to_pylist() == [4]
     assert out["width"].to_pylist() == [5]
     assert out["height"].to_pylist() == [29]
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    """IVF probe (nprobe/k of the corpus scanned) keeps high recall vs
+    the exact brute force; exact duplicates of the probe set are found."""
+    from tartare_ray.pipelines.queries import ann_ivf_topk, ann_topk
+
+    exact = ann_topk(SF).to_pandas()
+    approx = ann_ivf_topk(SF, n_clusters=16, nprobe=6).to_pandas()
+    recalls = []
+    for q in exact["q_id"].unique():
+        e = set(exact.loc[exact["q_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["q_id"] == q, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
