@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--keep-last", type=int, default=2)
 
+    sp = sub.add_parser("status", help="committed state: epoch, watermark, partitions, bytes")
+    sp.add_argument("--table-root", required=True)
+
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases (no new events)")
     add_engine_args(sp)
 
@@ -102,6 +105,28 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"files": len(res.files), "n_events": res.n_events, "max_lsn": res.max_lsn}))
+        return 0
+
+    if args.cmd == "status":
+        from .state.manifest import load_current
+
+        m = load_current(args.table_root)
+        if m is None:
+            print(json.dumps({"status": "empty"}))
+            return 0
+        kinds = {}
+        for pl in m.partitions:
+            kinds[pl.kind] = kinds.get(pl.kind, 0) + 1
+        print(json.dumps({
+            "status": "committed",
+            "epoch": m.epoch,
+            "watermark_lsn": m.watermark_lsn,
+            "rows": sum(pl.rows for pl in m.partitions),
+            "bytes": sum(pl.bytes for pl in m.partitions),
+            "partitions": len({pl.p for pl in m.partitions}),
+            "files": kinds,
+            "schema_fingerprint": m.schema_fingerprint,
+        }))
         return 0
 
     if args.cmd == "publish":

@@ -139,7 +139,16 @@ class CdcEngine:
     # -- one epoch ---------------------------------------------------------
     def run_epoch(self) -> Manifest | None:
         """Process the next pending LSN range; returns the committed
-        manifest, or None when the log is exhausted."""
+        manifest, or None when the log is exhausted.  Holds the
+        single-writer flock for the build+commit (state/lock.py) —
+        a second engine racing the same table_root fails fast instead
+        of silently discarding this epoch's commit."""
+        from ..state.lock import WriterLock
+
+        with WriterLock(self.table_root):
+            return self._run_epoch_locked()
+
+    def _run_epoch_locked(self) -> Manifest | None:
         t0 = time.perf_counter()
         gc_orphans(self.table_root)
         cur = load_current(self.table_root)
@@ -382,6 +391,12 @@ class CdcEngine:
         physically dropped) and commit it as a new epoch at the SAME
         watermark — one task per partition, no shuffle.  No-op (returns
         None) when the table is already all-base."""
+        from ..state.lock import WriterLock
+
+        with WriterLock(self.table_root):
+            return self._compact_locked()
+
+    def _compact_locked(self) -> Manifest | None:
         import json as _json
 
         from ..stages.compact import PartitionCompactor

@@ -223,3 +223,22 @@ def test_multi_source_epoch_cut_is_lsn_complete(ray_session, tmp_path):
     eng2 = CdcEngine([even, odd], str(tmp_path / "t2"), EngineConfig(num_partitions=4, epoch_max_files=1))
     eng2.replay()
     assert_tables_equal(eng2.snapshot_table(), replay_oracle([res.files[0]]))
+
+
+def test_writer_lock_excludes_second_engine(engine_setup, tmp_log):
+    """A second engine committing to the same table_root fails fast
+    while the first holds the epoch lock (lost-update protection)."""
+    from tartare_ray.state.lock import ConcurrentWriterError, WriterLock
+
+    res, root = engine_setup
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]), root,
+        EngineConfig(num_partitions=4, epoch_max_files=1),
+    )
+    eng.run_epoch()
+    with WriterLock(eng.table_root):
+        with pytest.raises(ConcurrentWriterError):
+            eng.run_epoch()
+    # released: next epoch proceeds
+    assert eng.replay() is not None
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))

@@ -178,6 +178,9 @@ def test_cli_gen_detect_replay_publish(tmp_path):
     assert out["files_removed"] >= 0
     out = cli("compact", "--log-dir", log, "--table-root", table)
     assert out["status"] == "noop"  # cow replay leaves no delta chains
+    out = cli("status", "--table-root", table)
+    assert out["status"] == "committed" and out["watermark_lsn"] == 2999
+    assert out["files"] == {"base": out["partitions"]}
 
 
 def test_cli_tail_follows_appends(tmp_path, ray_session):
