@@ -932,6 +932,32 @@ def multimodal_meta(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Full multimodal chain: attach blob → frame-sample (every 4th
+    64-byte frame, actor pool, small batches) → byte-histogram feature
+    extraction (real, vectorized — the embedding-column shape).
+    Rows-only driver check; frame/byte arithmetic asserted in pytest."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        MM.attach_payload_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sampled = ds.map_batches(
+        MM.FrameSampleStage,
+        fn_constructor_kwargs=dict(frame_bytes=64, stride=4),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_conc(),
+    )
+    feats = sampled.map_batches(
+        lambda b: MM.byte_histogram_batch(b).append_column(
+            "n_frames_sampled", b["n_frames_sampled"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return feats
+
+
 def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
     """Full engine end-to-end on a documents-derived change log
     (insert/update/delete + widen + added column), returning a
@@ -1015,6 +1041,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
     "cdc_apply_small": cdc_apply_small,
     "cdc_incremental_view": cdc_incremental_view,
     "cdc_schema_evolution": cdc_schema_evolution,

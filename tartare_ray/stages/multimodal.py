@@ -67,3 +67,108 @@ class DecodeStage:
                 "n_frames": pa.array(np.ones(len(byte_len), dtype=np.int32)),
             }
         )
+
+
+class ResizeStage:
+    """Actor-pool resize: payload → payload', width/height set to the
+    target box.  STUB kernel (no PIL in this container — ``real=True``
+    raises), but the data movement is real: the output binary column is
+    a proportional byte slice of the input, so downstream stages see
+    genuinely smaller buffers, exactly as a real thumbnailer would
+    shrink block sizes mid-pipeline."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "real resize requires PIL/opencv, not present in this "
+                "container — run with real=False for the deterministic stub"
+            )
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        lens = pc.binary_length(payload).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.minimum(lens, self.target_w * self.target_h // 16 + 1)
+        resized = pa.array(
+            [payload[i].as_py()[: keep[i]] for i in range(n)], pa.binary()
+        )  # slicing variable-width binaries is per-row by nature; buffers stay small
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": resized,
+                "width": pa.array(np.full(n, self.target_w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.target_h, dtype=np.int32)),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampling (video shape): the payload is treated
+    as ``frame_bytes``-sized frames; every ``stride``-th frame is kept
+    and re-concatenated.  Fully vectorized over the flat byte buffer —
+    frame index per byte, boolean keep mask, one slice."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        off = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + len(payload) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off)
+        row_of_byte = np.repeat(np.arange(len(payload)), lens)
+        pos_in_row = np.arange(off[0], off[-1]) - np.repeat(off[:-1], lens)
+        frame_no = pos_in_row // self.frame_bytes
+        keep = (frame_no % self.stride) == 0
+        kept_bytes = data[off[0] : off[-1]][keep]
+        kept_per_row = np.bincount(row_of_byte[keep], minlength=len(payload))
+        new_off = np.zeros(len(payload) + 1, dtype=np.int32)
+        np.cumsum(kept_per_row, out=new_off[1:])
+        sampled = pa.Array.from_buffers(
+            pa.binary(),
+            len(payload),
+            [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(kept_bytes.tobytes())],
+        )
+        n_frames = -(-lens // self.frame_bytes)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": sampled,
+                "n_frames_total": pa.array(n_frames, pa.int64()),
+                "n_frames_sampled": pa.array(-(-n_frames // self.stride), pa.int64()),
+            }
+        )
+
+
+def byte_histogram_batch(batch: pa.Table, dim: int = 64) -> pa.Table:
+    """REAL feature extraction (no stub needed): a ``dim``-bucket byte
+    histogram per payload — one vectorized pass over the flat buffer
+    (np.add.at on (row, bucket)), emitted as ``list<int64>`` — the
+    embedding-column shape the similarity suite consumes."""
+    payload = batch["payload"]
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    off = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+        payload.offset : payload.offset + len(payload) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    lens = np.diff(off)
+    rows = np.repeat(np.arange(len(payload)), lens)
+    hist = np.zeros((len(payload), dim), dtype=np.int64)
+    np.add.at(hist, (rows, data // (256 // dim)), 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "feature": pa.array(hist.tolist(), pa.list_(pa.int64())),
+            "feat_nbytes": pa.array(lens, pa.int64()),
+        }
+    )

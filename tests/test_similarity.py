@@ -74,3 +74,48 @@ def test_ann_ivf_recall_vs_exact(ray_session):
         a = set(approx.loc[approx["q_id"] == q, "vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_frame_sample_and_byte_histogram_arithmetic(ray_session):
+    """Frame sampling keeps every stride-th frame_bytes chunk; the byte
+    histogram's row-sum equals the sampled payload length."""
+    import pyarrow as pa
+
+    from tartare_ray.stages.multimodal import FrameSampleStage, byte_histogram_batch
+
+    payloads = [b"x" * 300, b"y" * 64, b"z" * 63, b"w" * 257, b""]
+    batch = pa.table(
+        {"doc_id": [f"d{i}" for i in range(5)], "payload": pa.array(payloads, pa.binary())}
+    )
+    out = FrameSampleStage(frame_bytes=64, stride=4)(batch)
+    exp_total = [(len(p) + 63) // 64 for p in payloads]
+    assert out["n_frames_total"].to_pylist() == exp_total
+    assert out["n_frames_sampled"].to_pylist() == [(t + 3) // 4 for t in exp_total]
+    # kept bytes = frames 0, 4, 8… of each payload
+    for i, p in enumerate(payloads):
+        kept = b"".join(
+            p[j * 64 : (j + 1) * 64] for j in range(0, exp_total[i], 4)
+        )
+        assert out["payload"][i].as_py() == kept, i
+    hist = byte_histogram_batch(out)
+    sums = [sum(h) for h in hist["feature"].to_pylist()]
+    assert sums == [len(out["payload"][i].as_py()) for i in range(5)]
+    assert hist["feat_nbytes"].to_pylist() == sums
+
+
+def test_resize_stage_bounds_payloads(ray_session):
+    import pyarrow as pa
+
+    from tartare_ray.stages.multimodal import ResizeStage
+
+    batch = pa.table(
+        {"doc_id": ["a", "b"], "payload": pa.array([b"q" * 500, b"r" * 10], pa.binary())}
+    )
+    out = ResizeStage(target_w=64, target_h=64)(batch)
+    cap = 64 * 64 // 16 + 1
+    assert [len(out["payload"][i].as_py()) for i in range(2)] == [min(500, cap), 10]
+    assert out["width"].to_pylist() == [64, 64]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ResizeStage(real=True)
