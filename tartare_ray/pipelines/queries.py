@@ -607,6 +607,14 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """GPT-2-style pre-tokenizer counting as a single vectorized RE2
+    kernel (both engines run RE2 ⇒ exact oracle)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def text_stats(sf_dir: str) -> ray.data.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         TX.text_stats_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -1027,6 +1035,7 @@ QUERIES = {
     "anti_join": anti_join,
     "count_distinct": count_distinct,
     "token_count": token_count,
+    "bpe_token_count": bpe_token_count,
     "text_stats": text_stats,
     "tokens_per_lang": tokens_per_lang,
     "lang_id": lang_id,
@@ -1180,6 +1189,13 @@ ORACLE_SQL = {
     "token_count": """
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+        FROM documents
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+               )) AS n_pretokens
         FROM documents
     """,
     "text_stats": """

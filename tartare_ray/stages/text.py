@@ -85,3 +85,23 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(fp.view(np.int64), type=pa.int64()),
         }
     )
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (pyarrow and DuckDB
+# both run RE2, so counts agree exactly — the basis of the SQL oracle).
+BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex applied as
+    one vectorized RE2 kernel (``pc.count_substring_regex``) — an upper
+    bound on real BPE token counts (merges only shrink) used for corpus
+    sizing/budgeting without loading a tokenizer."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_pretokens": pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_PRETOKEN_PATTERN), pa.int64()
+            ),
+        }
+    )
