@@ -265,10 +265,15 @@ class CdcEngine:
             partitions=partitions,
         )
         self._commit(m)
-        write_epoch_metrics(
-            self.table_root,
-            epoch_metrics(m, sorted(touched), time.perf_counter() - t0),
-        )
+        metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0)
+        try:
+            # per-operator execution profile (read/validate/shuffle/apply
+            # wall + memory), the ds.stats() feedback loop persisted per
+            # epoch so slow stages are diagnosable after the fact
+            metrics["ray_stats"] = lineage_ds.stats()[:4000]
+        except Exception:
+            pass
+        write_epoch_metrics(self.table_root, metrics)
         return m
 
     def _commit(self, m: Manifest) -> None:

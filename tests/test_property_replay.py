@@ -76,3 +76,33 @@ def test_engine_equals_sequential_fold(ray_session, tmp_path_factory, events, sa
     assert actual.num_rows == expected.num_rows
     for col in expected.schema.names:
         assert actual[col].to_pylist() == expected[col].to_pylist(), col
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs(), st.lists(st.integers(0, 2), min_size=2, max_size=12))
+def test_multi_source_split_equals_single_log(
+    ray_session, tmp_path_factory, events, assignment
+):
+    """Any split of the log's files across up to 3 source dirs replays
+    to the same table as the single-dir layout (union + LSN-complete
+    epoch cuts), under per-file epochs."""
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("prop_ms"))
+    files = _write_log(events, os.path.join(base, "log"))
+    expected = replay_oracle(files)
+    dirs = [os.path.join(base, f"src{k}") for k in range(3)]
+    for d in dirs:
+        os.makedirs(d)
+    for i, f in enumerate(files):
+        shutil.copy(f, dirs[assignment[i % len(assignment)]])
+    eng = CdcEngine(
+        dirs,
+        os.path.join(base, "table"),
+        EngineConfig(num_partitions=3, epoch_max_files=1),
+    )
+    eng.replay()
+    actual = eng.snapshot_table()
+    assert actual.num_rows == expected.num_rows
+    for col in expected.schema.names:
+        assert actual[col].to_pylist() == expected[col].to_pylist(), col
