@@ -81,6 +81,17 @@ class EngineConfig:
     # write amplification O(epoch winners) instead of O(table)).
     write_mode: str = "cow"
     compact_chain_len: int = 8
+    # Late materialization: a column-pruned envelope pass (lsn/op/doc_id
+    # only) determines the winning LSN set first; the full read then
+    # filters to winners BEFORE the partition exchange, so the shuffle
+    # moves ~winners/events of the payload bytes — on a cluster, the
+    # network is the scarce resource this saves.  Adaptive: when the
+    # winner ratio exceeds ``late_mat_max_ratio`` (low duplication, no
+    # bytes to save), the epoch falls back to the classic single-pass
+    # path.  Winner set memory = 8 B × winners, shipped once per node
+    # (ray.put) — bounded because epochs are bounded.
+    late_materialization: bool = False
+    late_mat_max_ratio: float = 0.7
     initial_schema: pa.Schema = BASE_SCHEMA
 
 
@@ -135,6 +146,41 @@ class CdcEngine:
         envelope = [CHANGE_SCHEMA.field(n) for n in ENVELOPE_COLUMNS]
         change = pa.schema(envelope + list(snap))
         return snap, change
+
+    def _phase1_winners(self, chosen: list[LogFile], watermark: int, cpus: int):
+        """Late-materialization phase 1: envelope-only scan → winning
+        LSN set.  Returns a ``ray.put`` ref of the sorted int64 array,
+        or None when the winner ratio is too high to pay for a second
+        read (adaptive fallback)."""
+        import numpy as np
+
+        from ..stages.kernels import latest_per_key
+        from ..stages.validate import EnvelopeWinnerStage
+
+        env = ray.data.read_parquet(
+            [f.path for f in chosen],
+            columns=["lsn", "op", "doc_id"],
+            override_num_blocks=cpus,
+        ).map_batches(
+            EnvelopeWinnerStage(watermark, self.cfg.num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        final = env.groupby("part").map_groups(
+            lambda g: latest_per_key(g, "doc_id", "lsn", hash_col="doc_hash"),
+            batch_format="pyarrow",
+        )
+        parts = [
+            b["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b in final.select_columns(["lsn"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        lsns = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        total = sum(f.num_rows for f in chosen)
+        if total == 0 or len(lsns) / total > self.cfg.late_mat_max_ratio:
+            return None  # low duplication: a second full read buys nothing
+        return ray.put(lsns)
 
     # -- one epoch ---------------------------------------------------------
     def run_epoch(self) -> Manifest | None:
@@ -195,6 +241,9 @@ class CdcEngine:
         # objects, so 8×CPU block counts drown the scheduler in tiny
         # objects (measured: 225 blocks → 0.7M ev/s, 64 blocks → 1M+).
         num_blocks = max(cpus, min(-(-total_bytes // (64 << 20)), cpus * 2))
+        winners_ref = None
+        if self.cfg.late_materialization:
+            winners_ref = self._phase1_winners(chosen, watermark, cpus)
         ds = ray.data.read_parquet(
             [f.path for f in chosen],
             override_num_blocks=num_blocks,
@@ -207,6 +256,7 @@ class CdcEngine:
             watermark=watermark,
             num_partitions=self.cfg.num_partitions,
             quarantine_dir=f"{self.table_root}/_quarantine/e{epoch:06d}",
+            winners_ref=winners_ref,
         )
         ds = ds.map_batches(
             validator,

@@ -44,11 +44,13 @@ class ValidatePartitionStage:
         watermark: int,
         num_partitions: int,
         quarantine_dir: str | None = None,
+        winners_ref=None,  # ray.ObjectRef of a SORTED int64 np array of winning LSNs
     ):
         self.change_schema = change_schema
         self.watermark = watermark
         self.num_partitions = num_partitions
         self.quarantine_dir = quarantine_dir
+        self.winners_ref = winners_ref
         self._q_opened = False
 
     def _quarantine(self, bad: pa.Table) -> None:
@@ -78,9 +80,58 @@ class ValidatePartitionStage:
             batch = batch.filter(ok)
         # duplicate-delivery safety: drop rows at or below the watermark
         batch = batch.filter(pc.greater(batch["lsn"], self.watermark))
+        if self.winners_ref is not None and len(batch):
+            # late materialization (phase 2): keep only rows whose LSN
+            # won phase 1 — the shuffle then carries winners' payloads
+            # only.  Sorted-array searchsorted: node-local broadcast,
+            # O(log w) per row, no hash-set build per batch.
+            import numpy as np
+            import ray as _ray
+
+            w = _ray.get(self.winners_ref)
+            lsn = batch["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(w, lsn)
+            keep = (idx < len(w)) & (w[np.minimum(idx, len(w) - 1)] == lsn)
+            batch = batch.filter(pa.array(keep))
         batch = conform(batch, self.change_schema)
         # doc_hash rides along as an int64 sort surrogate: the applier's
         # hot sorts run on (doc_hash, doc_id) instead of raw strings.
+        batch = add_hash_partition_column(
+            batch, "doc_id", self.num_partitions, hash_col="doc_hash"
+        )
+        return latest_per_key(batch, key="doc_id", order_col="lsn", hash_col="doc_hash")
+
+
+class EnvelopeWinnerStage:
+    """Phase 1 of late materialization: the same row rules as the full
+    validate (envelope validity + watermark), applied to an
+    envelope-only scan (columns lsn/op/doc_id — column-pruned read),
+    pre-reduced per batch.  Its per-partition final reduce yields the
+    winning LSN set; only those rows' payloads are then read and
+    shuffled (phase 2) — the exchange moves ~winners/events of the
+    bytes."""
+
+    def __init__(self, watermark: int, num_partitions: int):
+        self.watermark = watermark
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "lsn": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                    "doc_hash": pa.array([], pa.int64()),
+                }
+            )
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch["lsn"]), pc.is_valid(batch["doc_id"])),
+            pc.is_in(batch["op"], value_set=pa.array(VALID_OPS)),
+        )
+        batch = batch.filter(pc.fill_null(ok, False))
+        batch = batch.filter(pc.greater(batch["lsn"], self.watermark))
+        batch = batch.select(["doc_id", "lsn"])
         batch = add_hash_partition_column(
             batch, "doc_id", self.num_partitions, hash_col="doc_hash"
         )

@@ -242,3 +242,21 @@ def test_writer_lock_excludes_second_engine(engine_setup, tmp_log):
     # released: next epoch proceeds
     assert eng.replay() is not None
     assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+@pytest.mark.parametrize("mode", ["cow", "delta"])
+def test_late_materialization_matches_oracle(engine_setup, mode):
+    """Two-phase (envelope winners -> payload-filtered shuffle) epochs
+    commit the identical table; the adaptive ratio guard is bypassed so
+    the winner-filter path definitely executes."""
+    res, root = engine_setup
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        root + f"-lm-{mode}",
+        EngineConfig(
+            num_partitions=4, epoch_max_files=2, write_mode=mode,
+            late_materialization=True, late_mat_max_ratio=1.01,
+        ),
+    )
+    eng.replay()
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
