@@ -351,30 +351,59 @@ class CdcEngine:
             return load_current(self.table_root)
         return load_epoch(self.table_root, epoch)
 
-    def snapshot_dataset(self, epoch: int | None = None) -> ray.data.Dataset:
+    def snapshot_dataset(
+        self, epoch: int | None = None, columns: list[str] | None = None
+    ) -> ray.data.Dataset:
         """The committed table as a streaming Dataset (conformed to the
         manifest schema — older partition files evolve lazily at read).
-        ``epoch`` time-travels to any un-GC'd committed epoch.
+        ``epoch`` time-travels to any un-GC'd committed epoch;
+        ``columns`` prunes at the Parquet scan (pure-base manifests:
+        only those column chunks leave storage).
 
         Pure-base manifests (cow, or delta fully compacted) stream via
         ``read_parquet``; manifests with live delta chains go through a
         per-partition merge stage (``stages/compact.py``) — one task per
-        partition, no shuffle."""
+        partition, no shuffle (the merge needs doc_id/op, so pruning
+        there applies after the fold)."""
         m = self._manifest_at(epoch)
         if m is None or not m.partitions:
             empty = (m.schema if m else self.cfg.initial_schema).empty_table()
-            return ray.data.from_arrow(empty)
+            return ray.data.from_arrow(
+                empty.select(columns) if columns else empty
+            )
+        target = (
+            pa.schema([m.schema.field(c) for c in columns]) if columns else m.schema
+        )
         if all(pl.kind == "base" for pl in m.partitions):
             files = [f"{self.table_root}/{pl.file}" for pl in m.partitions]
             # no schema= override (pathological datasource ctor — see
             # run_epoch); older files conform per batch instead.
             ray.data.DataContext.get_current().decoding_size_estimation = False
-            target = m.schema
-            return ray.data.read_parquet(files).map_batches(
-                lambda b: conform(b, target),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            if not columns:
+                return ray.data.read_parquet(files).map_batches(
+                    lambda b: conform(b, target),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            # a carried-forward pre-evolution file may LACK a requested
+            # column — group files by the subset they physically have
+            # (footer-only check) and union the pruned scans
+            groups: dict[tuple, list[str]] = {}
+            for f in files:
+                names = set(pq.read_schema(f).names)
+                groups.setdefault(tuple(c for c in columns if c in names), []).append(f)
+            parts = []
+            for have, fs in groups.items():
+                sub = ray.data.read_parquet(fs, columns=list(have) or None).map_batches(
+                    lambda b: conform(b, target),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                parts.append(sub)
+            ds = parts[0]
+            for sub in parts[1:]:
+                ds = ds.union(sub)
+            return ds
         import json as _json
 
         from ..stages.compact import PartitionMergeReader
@@ -383,11 +412,16 @@ class CdcEngine:
             {"p": p, "chain_json": _json.dumps(chain)}
             for p, chain in sorted(self._chains(m).items())
         ]
-        return ray.data.from_items(items).map_batches(
+        ds = ray.data.from_items(items).map_batches(
             PartitionMergeReader(self.table_root, m.schema_b64),
             batch_format="pyarrow",
             batch_size=1,
         )
+        if columns:
+            ds = ds.map_batches(
+                lambda b: conform(b, target), batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
 
     def changes_dataset(self, epoch: int) -> ray.data.Dataset:
         """The downstream change feed of one committed epoch: the
@@ -440,6 +474,90 @@ class CdcEngine:
         return ds.groupby("doc_id").map_groups(
             lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
         )
+
+    def backfill(self, column: str, fn) -> Manifest | None:
+        """Materialize an evolution-added column for old rows: rewrite
+        only partitions whose chains actually CONTAIN nulls for
+        ``column`` (decided from Parquet footer null-count statistics —
+        metadata-only pruning, no data read for clean partitions) and
+        commit a new epoch at the same watermark.  ``fn(live_rows) ->
+        array`` computes the column; stored non-null values are kept
+        bit-for-bit.  The tartare analogue is a preprocess that patches
+        a missing GTFS file across historical exports
+        `[UNVERIFIED — empty checkout, SURVEY.md §0]`."""
+        import json as _json
+
+        from ..stages.compact import PartitionBackfiller
+        from ..state.lock import WriterLock
+
+        with WriterLock(self.table_root):
+            cur = load_current(self.table_root)
+            if cur is None or column not in cur.schema.names:
+                return None
+            chains = self._chains(cur)
+
+            def chain_has_nulls(chain: list[dict]) -> bool:
+                for e in chain:
+                    md = pq.ParquetFile(f"{self.table_root}/{e['file']}").metadata
+                    sch = md.schema.to_arrow_schema()
+                    if column not in sch.names:
+                        return True  # pre-evolution file: column implied null
+                    idx = sch.get_field_index(column)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or st.null_count is None or st.null_count > 0:
+                            return True
+                return False
+
+            spans = {
+                p: (
+                    min(pl.lsn_lo for pl in cur.partitions if pl.p == p),
+                    max(pl.lsn_hi for pl in cur.partitions if pl.p == p),
+                )
+                for p in chains
+            }
+            epoch = cur.epoch + 1
+            items = [
+                {
+                    "p": p,
+                    "chain_json": _json.dumps(chain),
+                    "lsn_lo": spans[p][0],
+                    "lsn_hi": spans[p][1],
+                }
+                for p, chain in sorted(chains.items())
+                if chain_has_nulls(chain)
+            ]
+            if not items:
+                return None
+            lineage_rows = (
+                ray.data.from_items(items)
+                .map_batches(
+                    PartitionBackfiller(
+                        self.table_root, cur.schema_b64, epoch, column, fn,
+                        self.cfg.compression,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=1,
+                )
+                .take_all()
+            )
+            touched = {int(r["p"]) for r in lineage_rows}
+            partitions = [
+                PartitionLineage(**{**r, "p": int(r["p"]), "epoch": epoch})
+                for r in lineage_rows
+            ]
+            partitions += [pl for pl in cur.partitions if pl.p not in touched]
+            partitions.sort(key=lambda pl: (pl.p, pl.epoch))
+            m = Manifest(
+                epoch=epoch,
+                parent_epoch=cur.epoch,
+                watermark_lsn=cur.watermark_lsn,
+                schema_b64=cur.schema_b64,
+                schema_fingerprint=cur.schema_fingerprint,
+                partitions=partitions,
+            )
+            self._commit(m)
+            return m
 
     def compact(self) -> Manifest | None:
         """Fold every live delta chain into a fresh base (tombstones

@@ -137,3 +137,59 @@ class PartitionCompactor:
                 }
             )
         return pa.Table.from_pylist(rows)
+
+
+class PartitionBackfiller:
+    """map_batches stage over partition descriptors → fresh BASE with a
+    null-backfilled column computed (``CdcEngine.backfill``).  ``fn``
+    receives the merged live rows (pa.Table) and returns the full
+    column array; only null positions are replaced, so rows written
+    since the evolution keep their stored values bit-for-bit."""
+
+    def __init__(self, table_root: str, schema_b64: str, epoch: int, column: str, fn, compression: str = "zstd"):
+        self.table_root = table_root
+        self.schema = pa.ipc.read_schema(
+            pa.py_buffer(__import__("base64").b64decode(schema_b64))
+        )
+        self.epoch = epoch
+        self.column = column
+        self.fn = fn
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+        import os
+
+        rows = []
+        for row in batch.to_pylist():
+            p = int(row["p"])
+            merged = read_chain(self.table_root, json.loads(row["chain_json"]), self.schema)
+            col = merged[self.column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.null_count:
+                computed = self.fn(merged)
+                if isinstance(computed, pa.ChunkedArray):
+                    computed = computed.combine_chunks()
+                filled = pc.if_else(pc.is_valid(col), col, computed.cast(col.type))
+                merged = merged.set_column(
+                    merged.schema.get_field_index(self.column), self.column, filled
+                )
+            fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
+            path = os.path.join(self.table_root, "data", fname)
+            tmp = path + ".inprogress"
+            pq.write_table(merged, tmp, compression=self.compression)
+            os.replace(tmp, path)
+            rows.append(
+                {
+                    "p": p,
+                    "file": os.path.join("data", fname),
+                    "kind": "base",
+                    "rows": len(merged),
+                    "lsn_lo": int(row["lsn_lo"]),
+                    "lsn_hi": int(row["lsn_hi"]),
+                    "events_applied": 0,
+                    "bytes": os.path.getsize(path),
+                }
+            )
+        return pa.Table.from_pylist(rows)

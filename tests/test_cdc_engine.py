@@ -260,3 +260,56 @@ def test_late_materialization_matches_oracle(engine_setup, mode):
     )
     eng.replay()
     assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_backfill_fills_evolution_nulls(ray_session, tmp_path):
+    """After an add-column evolution, old rows carry nulls; backfill
+    computes them partition-locally (footer-stat pruned), keeps stored
+    values bit-for-bit, and commits a new epoch at the same watermark."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=4000, n_docs=400, events_per_file=1000, add_col_frac=0.5),
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"), str(tmp_path / "t"), EngineConfig(num_partitions=4)
+    )
+    eng.replay()
+    before = eng.snapshot_table()
+    assert before["quality"].null_count > 0  # evolution nulls present
+
+    def fn(live: pa.Table) -> pa.Array:
+        # deterministic derivation from another column
+        return pc.cast(pc.multiply(pc.cast(live["n_tok"], pa.float64()), 0.5), pa.float64())
+
+    m = eng.backfill("quality", fn)
+    assert m is not None and m.watermark_lsn == res.max_lsn
+    after = eng.snapshot_table()
+    assert after["quality"].null_count == 0
+    assert after["doc_id"].to_pylist() == before["doc_id"].to_pylist()
+    bq = before["quality"].to_pylist()
+    aq = after["quality"].to_pylist()
+    nt = after["n_tok"].to_pylist()
+    for i, (b, a) in enumerate(zip(bq, aq)):
+        assert a == (b if b is not None else nt[i] * 0.5), i
+    # idempotent: no nulls left -> footer pruning makes it a no-op
+    assert eng.backfill("quality", fn) is None
+
+
+def test_snapshot_column_pruning(ray_session, tmp_path):
+    import pyarrow as paa
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=3000, n_docs=300, add_col_frac=0.5)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"), str(tmp_path / "t"), EngineConfig(num_partitions=4)
+    )
+    eng.replay()
+    ds = eng.snapshot_dataset(columns=["doc_id", "n_tok"])
+    t = paa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert t.schema.names == ["doc_id", "n_tok"]
+    full = eng.snapshot_table()
+    assert sorted(t["doc_id"].to_pylist()) == full["doc_id"].to_pylist()
