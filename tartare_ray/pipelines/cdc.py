@@ -316,6 +316,7 @@ class CdcEngine:
         )
         self._commit(m)
         metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0)
+        metrics["quarantined_rows"] = self._quarantine_count(epoch)
         try:
             # per-operator execution profile (read/validate/shuffle/apply
             # wall + memory), the ds.stats() feedback loop persisted per
@@ -474,6 +475,38 @@ class CdcEngine:
         return ds.groupby("doc_id").map_groups(
             lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
         )
+
+    def _quarantine_dir(self, epoch: int) -> str:
+        return f"{self.table_root}/_quarantine/e{epoch:06d}"
+
+    def _quarantine_count(self, epoch: int) -> int:
+        """Rows quarantined this epoch — footer-only count (SURVEY.md
+        'quarantined and counted in metrics')."""
+        import os
+
+        d = self._quarantine_dir(epoch)
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            pq.ParquetFile(os.path.join(d, n)).metadata.num_rows
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    def quarantine_dataset(self, epoch: int) -> ray.data.Dataset:
+        """The malformed rows rejected by epoch ``epoch``'s validate
+        stage, for diagnosis/replay-after-fix."""
+        import os
+
+        d = self._quarantine_dir(epoch)
+        files = (
+            [os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if not files:
+            return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
 
     def backfill(self, column: str, fn) -> Manifest | None:
         """Materialize an evolution-added column for old rows: rewrite

@@ -986,6 +986,34 @@ def cdc_incremental_view(sf_dir: str) -> pa.Table:
     return IncrementalAggView(eng, "by_source", "source", "n_tok").as_table()
 
 
+def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Vocabulary statistics over the committed table's ``tokens``
+    list column (the input_hint's core payload): per-block
+    ``list_flatten`` + ``np.unique`` pre-aggregation (the combiner —
+    shuffle carries (token, count) partials, never token lists), exact
+    grouped sum, deterministic top-k.  Column-pruned snapshot read.
+    Rows-only driver check (no SQL view holds the tokens column)."""
+    eng = run_flagship(sf_dir)
+    ds = eng.snapshot_dataset(columns=["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(b["tokens"]).to_numpy(zero_copy_only=False)
+        tok, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(tok.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     """Schema-evolution evidence: the committed manifest's schema and
     per-partition lineage after the evolving replay."""
@@ -1053,6 +1081,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "cdc_apply_small": cdc_apply_small,
     "cdc_incremental_view": cdc_incremental_view,
+    "cdc_vocab_stats": cdc_vocab_stats,
     "cdc_schema_evolution": cdc_schema_evolution,
 }
 

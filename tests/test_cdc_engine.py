@@ -164,6 +164,14 @@ def test_quarantine_malformed_rows(ray_session, tmp_path):
     qdir = os.path.join(root, "_quarantine", "e000001")
     qrows = sum(pq.read_metadata(os.path.join(qdir, f)).num_rows for f in os.listdir(qdir))
     assert qrows == 2
+    # surfaced in epoch metrics + readable as a dataset
+    import json
+
+    metrics = json.load(open(os.path.join(root, "_metrics", "e000001.json")))
+    assert metrics["quarantined_rows"] == 2
+    q = eng.quarantine_dataset(1).to_pandas()
+    assert sorted(q["doc_id"]) == ["b", "d"]
+    assert len(eng.quarantine_dataset(99).to_pandas()) == 0
 
 
 def test_multi_source_union_matches_oracle(ray_session, tmp_path):
