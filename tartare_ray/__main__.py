@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("status", help="committed state: epoch, watermark, partitions, bytes")
     sp.add_argument("--table-root", required=True)
 
+    sp = sub.add_parser("pipeline", help="run a JSON-configured chain of named steps over parquet")
+    sp.add_argument("--input", required=True, help="parquet file/dir")
+    sp.add_argument("--output", required=True, help="output parquet dir")
+    sp.add_argument("--config", required=True, help="JSON: {steps: [{name, kwargs?, batch_size?, concurrency?}]}")
+
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases (no new events)")
     add_engine_args(sp)
 
@@ -105,6 +110,30 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"files": len(res.files), "n_events": res.n_events, "max_lsn": res.max_lsn}))
+        return 0
+
+    if args.cmd == "pipeline":
+        _init_ray()
+        import ray.data
+
+        from .functions import builtin_steps  # noqa: F401 (registers named steps)
+        from .functions.registry import StepSpec, build_pipeline
+
+        with open(args.config) as f:
+            cfg = json.load(f)
+        specs = [
+            StepSpec(
+                name=s["name"],
+                kwargs=s.get("kwargs", {}),
+                concurrency=s.get("concurrency"),
+                batch_size=s.get("batch_size"),
+                num_cpus=s.get("num_cpus"),
+            )
+            for s in cfg["steps"]
+        ]
+        ds = build_pipeline(ray.data.read_parquet(args.input), specs)
+        ds.write_parquet(args.output)
+        print(json.dumps({"status": "done", "rows": ds.count(), "output": args.output}))
         return 0
 
     if args.cmd == "status":
