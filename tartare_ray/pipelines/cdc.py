@@ -340,6 +340,27 @@ class CdcEngine:
                 return last
             last = m
 
+    def follow(
+        self,
+        poll_interval: float = 5.0,
+        max_empty_polls: int | None = None,
+    ):
+        """Continuous-tail generator: yields each committed manifest as
+        the log grows (the library form of ``python -m tartare_ray
+        tail``).  Stops after ``max_empty_polls`` consecutive empty
+        polls when set; runs forever otherwise."""
+        empty = 0
+        while True:
+            m = self.run_epoch()
+            if m is None:
+                empty += 1
+                if max_empty_polls is not None and empty >= max_empty_polls:
+                    return
+                time.sleep(poll_interval)
+            else:
+                empty = 0
+                yield m
+
     # -- snapshot readers --------------------------------------------------
     def _chains(self, m: Manifest) -> dict[int, list[dict]]:
         chains: dict[int, list[dict]] = {}

@@ -321,3 +321,23 @@ def test_snapshot_column_pruning(ray_session, tmp_path):
     assert t.schema.names == ["doc_id", "n_tok"]
     full = eng.snapshot_table()
     assert sorted(t["doc_id"].to_pylist()) == full["doc_id"].to_pylist()
+
+
+def test_follow_generator_consumes_appended_waves(ray_session, tmp_path):
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(staging, GenConfig(n_events=3000, n_docs=300, events_per_file=1000))
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    shutil.copy(res.files[0], log)
+    eng = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=4))
+    it = eng.follow(poll_interval=0.1, max_empty_polls=2)
+    m1 = next(it)
+    assert m1.epoch == 1 and m1.watermark_lsn == 999
+    shutil.copy(res.files[1], log)
+    shutil.copy(res.files[2], log)
+    m2 = next(it)
+    assert m2.watermark_lsn == 2999
+    assert list(it) == []  # exhausts after 2 empty polls
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
