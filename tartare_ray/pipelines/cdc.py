@@ -72,6 +72,11 @@ class EngineConfig:
     # argmax(lsn) is associative and deletes survive partials as rows.
     # Use ``sources.sample.detect_hot_keys`` to decide when to enable.
     hot_key_salts: int | None = None
+    # Auto-detect: when hot_key_salts is None, sample each epoch's files
+    # (sources/sample.py) and enable the salted pre-reduce only if a key
+    # exceeds its fair share — skew handling that costs nothing on
+    # uniform logs.
+    auto_salt: bool = False
     validate_batch_size: int | None = None  # None -> Ray default (whole blocks)
     applier_concurrency: int | tuple[int, int] | None = None
     compression: str = "zstd"
@@ -264,8 +269,14 @@ class CdcEngine:
             zero_copy_batch=True,
             batch_size=self.cfg.validate_batch_size,
         )
-        if self.cfg.hot_key_salts and self.cfg.hot_key_salts > 1:
-            ds = _salted_pre_reduce(ds, self.cfg.hot_key_salts)
+        salts = self.cfg.hot_key_salts
+        if salts is None and self.cfg.auto_salt:
+            from ..sources.sample import detect_hot_keys
+
+            rep = detect_hot_keys(chosen, self.cfg.num_partitions)
+            salts = rep.recommended_salts
+        if salts and salts > 1:
+            ds = _salted_pre_reduce(ds, salts)
         lineage_ds = ds.groupby("part").map_groups(
             MergeApplier,
             fn_constructor_kwargs=dict(

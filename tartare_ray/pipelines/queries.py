@@ -923,6 +923,21 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
 # Multimodal plumbing + CDC flagship
 # --------------------------------------------------------------------------
 
+def text_embed(sf_dir: str) -> ray.data.Dataset:
+    """Batched 'model inference': hashed-BoW + random-projection text
+    encoder as an actor-pool stage (projection matrix built once per
+    actor in __init__ — the checkpoint-load slot).  Deterministic and
+    unit-norm (pytest-checked); rows-only driver check."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        S.TextEmbedStage,
+        fn_constructor_kwargs=dict(dim=64),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=_conc(),
+    )
+
+
 def multimodal_meta(sf_dir: str) -> ray.data.Dataset:
     """Binary-payload plumbing: attach blob → actor-pool decode stub →
     typed metadata.  Small batch_size models large-payload memory
@@ -1079,6 +1094,7 @@ QUERIES = {
     "ann_lsh_pairs": ann_lsh_pairs,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "text_embed": text_embed,
     "cdc_apply_small": cdc_apply_small,
     "cdc_incremental_view": cdc_incremental_view,
     "cdc_vocab_stats": cdc_vocab_stats,

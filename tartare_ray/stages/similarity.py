@@ -235,3 +235,51 @@ class IVFProbeStage:
                 "cos": pa.array(out_c, pa.float64()),
             }
         )
+
+
+# -- text → embedding "model inference" stage -----------------------------
+
+class TextEmbedStage:
+    """Batched model inference shape: a deterministic hashed-ngram +
+    random-projection text encoder.  The "model" (a seeded projection
+    matrix) is built ONCE per actor in ``__init__`` — the canonical
+    place for a real checkpoint load — and ``__call__`` is one matmul
+    per batch.  Deterministic across processes (fixed seed + fixed
+    hash), so outputs are reproducible and testable."""
+
+    def __init__(self, dim: int = 64, vocab_hash: int = 4096, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((vocab_hash, dim)).astype(np.float64)
+        self.vocab_hash = vocab_hash
+        self.dim = dim
+
+    def _bow(self, texts) -> np.ndarray:
+        """Hashed bag-of-words counts, vectorized over the flat char
+        buffer via token hashing (pandas hash of the split words)."""
+        import pandas as pd
+
+        out = np.zeros((len(texts), self.vocab_hash), dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            if not words:
+                continue
+            h = pd.util.hash_array(
+                np.asarray(words, dtype=object),
+                hash_key="tartare_ray.emb0",
+                categorize=False,
+            )
+            idx, cnt = np.unique((h % np.uint64(self.vocab_hash)).astype(np.int64),
+                                 return_counts=True)
+            out[i, idx] = cnt
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        emb = self._bow(texts) @ self.proj
+        emb = l2_normalize(emb + 1e-12)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
+            }
+        )

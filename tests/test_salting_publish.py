@@ -224,3 +224,56 @@ def test_cli_tail_follows_appends(tmp_path, ray_session):
     from tests.test_cdc_engine import assert_tables_equal
 
     assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_auto_salt_enables_on_hot_log(hot_log, ray_session):
+    """auto_salt samples each epoch's files and enables the salted
+    pre-reduce exactly when a key exceeds fair share — result equal to
+    the oracle either way."""
+    files, log_dir, tmp_path = hot_log
+    eng = CdcEngine(
+        log_dir,
+        str(tmp_path / "t-autosalt"),
+        EngineConfig(num_partitions=8, auto_salt=True),
+    )
+    eng.replay()
+    exp = replay_oracle(files)
+    snap = eng.snapshot_table()
+    assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    for c in exp.schema.names:
+        assert snap[c].to_pylist() == exp[c].to_pylist(), c
+
+
+def test_unknown_extra_columns_become_evolution(ray_session, tmp_path):
+    """A producer adding an unexpected payload column is the
+    add-column evolution case: absorbed into the snapshot schema
+    (null-backfilled on rows that lack it); ``drop_columns`` is the
+    opt-out for columns the table should never carry."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "lsn": pa.array([0, 1], pa.int64()),
+            "op": ["I", "I"],
+            "doc_id": ["a", "b"],
+            "tokens": pa.array([[1], [2, 3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 2], pa.int32()),
+            "source": ["s", "s"],
+            "schema_version": pa.array([1, 1], pa.int32()),
+            "junk_debug_field": ["x", "y"],  # unknown extra
+        }
+    )
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(t, str(log / "events-000000.parquet"))
+    eng = CdcEngine(str(log), str(tmp_path / "t"), EngineConfig(num_partitions=2))
+    eng.replay()
+    snap = eng.snapshot_table()
+    assert snap["doc_id"].to_pylist() == ["a", "b"]
+    assert snap["junk_debug_field"].to_pylist() == ["x", "y"]  # absorbed
+    eng2 = CdcEngine(
+        str(log), str(tmp_path / "t2"),
+        EngineConfig(num_partitions=2, drop_columns=("junk_debug_field",)),
+    )
+    eng2.replay()
+    assert "junk_debug_field" not in eng2.snapshot_table().schema.names

@@ -119,3 +119,16 @@ def test_resize_stage_bounds_payloads(ray_session):
 
     with _pytest.raises(NotImplementedError):
         ResizeStage(real=True)
+
+
+def test_text_embed_deterministic_unit_norm(ray_session):
+    from tartare_ray.pipelines.queries import text_embed
+
+    a = text_embed(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = text_embed(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert len(a) == 500 or len(a) > 0
+    ea = np.stack([np.asarray(v) for v in a["embedding"]])
+    eb = np.stack([np.asarray(v) for v in b["embedding"]])
+    assert np.array_equal(ea, eb)  # deterministic across runs/actors
+    norms = np.linalg.norm(ea, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-9)
