@@ -56,6 +56,31 @@ def quality_filter(
     return batch.filter(keep)
 
 
+@register_step("truncate_tokens")
+def truncate_tokens(batch: pa.Table, max_len: int = 2048) -> pa.Table:
+    """Cap token sequences at ``max_len`` and keep ``n_tok`` consistent
+    — vectorized ``list_slice`` (a context-length guard at ingest)."""
+    if "tokens" not in batch.schema.names or len(batch) == 0:
+        return batch
+    sliced = pc.list_slice(batch["tokens"], 0, max_len)
+    batch = batch.set_column(batch.schema.get_field_index("tokens"), "tokens", sliced)
+    if "n_tok" in batch.schema.names:
+        n = pc.list_value_length(sliced)
+        batch = batch.set_column(
+            batch.schema.get_field_index("n_tok"),
+            "n_tok",
+            pc.cast(n, batch["n_tok"].type),
+        )
+    return batch
+
+
+@register_step("pack_sequences")
+def pack_sequences(batch: pa.Table, seq_len: int = 128, eos: int | None = None, pad: int | None = None) -> pa.Table:
+    from ..stages.pack import pack_batch
+
+    return pack_batch(batch, seq_len=seq_len, eos=eos, pad=pad)
+
+
 @register_step("select_columns")
 def select_columns(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
     return batch.select(columns) if columns else batch

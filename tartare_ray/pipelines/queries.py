@@ -1029,6 +1029,21 @@ def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def cdc_pack_sequences(sf_dir: str, seq_len: int = 128) -> ray.data.Dataset:
+    """Sequence packing over the committed table: concatenate the
+    tokens column (EOS-separated) into fixed-``seq_len`` training rows
+    — block-local, fully vectorized (stages/pack.py).  Rows-only
+    driver check; stream-preservation asserted in pytest."""
+    from ..stages.pack import pack_batch
+
+    eng = run_flagship(sf_dir)
+    return eng.snapshot_dataset(columns=["tokens"]).map_batches(
+        lambda b: pack_batch(b, seq_len=seq_len, eos=0),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     """Schema-evolution evidence: the committed manifest's schema and
     per-partition lineage after the evolving replay."""
@@ -1098,6 +1113,7 @@ QUERIES = {
     "cdc_apply_small": cdc_apply_small,
     "cdc_incremental_view": cdc_incremental_view,
     "cdc_vocab_stats": cdc_vocab_stats,
+    "cdc_pack_sequences": cdc_pack_sequences,
     "cdc_schema_evolution": cdc_schema_evolution,
 }
 

@@ -144,3 +144,47 @@ def test_hll_merge_is_block_invariant(ray_session):
         ray.data.from_arrow(t).repartition(13), "k", "v"
     ).to_pylist()
     assert a == b
+
+
+def test_pack_sequences_exact_semantics():
+    """Block-local packing: EOS after each doc, reshape to seq_len,
+    remainder dropped or padded — exact expected rows."""
+    import pyarrow as pa
+
+    from tartare_ray.stages.pack import pack_batch
+
+    b = pa.table({"tokens": pa.array([[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]], pa.list_(pa.int32()))})
+    out = pack_batch(b, seq_len=4, eos=0)
+    assert out["seq"].to_pylist() == [[1, 2, 3, 0], [4, 5, 0, 6], [7, 8, 9, 0]]
+    out2 = pack_batch(b, seq_len=4, eos=0, pad=-1)
+    assert out2["seq"].to_pylist()[-1] == [10, 0, -1, -1]
+    assert out2["n_tok"].to_pylist() == [4, 4, 4, 2]
+    assert pack_batch(b, seq_len=5)["seq"].to_pylist() == [[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]]
+
+
+def test_cdc_pack_sequences_runs(ray_session):
+    import numpy as np
+
+    from tartare_ray.pipelines.queries import cdc_pack_sequences
+
+    t = cdc_pack_sequences(SF, seq_len=64).to_pandas()
+    assert len(t) > 0
+    lens = {len(s) for s in t["seq"]}
+    assert lens == {64}
+    assert (t["n_tok"] == 64).all()  # drop-remainder mode: all full rows
+
+
+def test_truncate_tokens_step():
+    import pyarrow as pa
+
+    from tartare_ray.functions.builtin_steps import truncate_tokens
+
+    b = pa.table(
+        {
+            "tokens": pa.array([[1, 2, 3, 4], [5]], pa.list_(pa.int32())),
+            "n_tok": pa.array([4, 1], pa.int32()),
+        }
+    )
+    out = truncate_tokens(b, max_len=2)
+    assert out["tokens"].to_pylist() == [[1, 2], [5]]
+    assert out["n_tok"].to_pylist() == [2, 1]
