@@ -34,6 +34,10 @@ def _init_ray():
 def _engine(args):
     from .pipelines.cdc import CdcEngine, EngineConfig
 
+    steps = []
+    for spec in getattr(args, "ingest_step", None) or []:
+        name, _, kw = spec.partition(":")
+        steps.append((name, json.loads(kw) if kw else {}))
     return CdcEngine(
         args.log_dir,
         args.table_root,
@@ -41,6 +45,7 @@ def _engine(args):
             num_partitions=args.num_partitions,
             hot_key_salts=args.salts,
             epoch_max_events=args.epoch_max_events,
+            ingest_steps=tuple(steps),
         ),
     )
 
@@ -58,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--num-partitions", type=int, default=64)
         sp.add_argument("--salts", type=int, default=None)
         sp.add_argument("--epoch-max-events", type=int, default=None)
+        sp.add_argument(
+            "--ingest-step", action="append", default=None,
+            help='registered step applied at ingest, as NAME or NAME:{"kw":v} JSON; repeatable, declared order',
+        )
 
     sp = sub.add_parser("replay", help="apply the whole pending log, epoch by epoch")
     add_engine_args(sp)

@@ -97,6 +97,12 @@ class EngineConfig:
     # (ray.put) — bounded because epochs are bounded.
     late_materialization: bool = False
     late_mat_max_ratio: float = 0.7
+    # Ingest transform chain (tartare's contributor preprocesses, run
+    # during export): registered step names applied to the validated
+    # change stream BEFORE the partition exchange, in declared order.
+    # Each entry: ("step_name", {kwargs}).  Steps see change-event
+    # batches (envelope + payload) and must preserve the envelope.
+    ingest_steps: tuple = ()
     initial_schema: pa.Schema = BASE_SCHEMA
 
 
@@ -269,6 +275,14 @@ class CdcEngine:
             zero_copy_batch=True,
             batch_size=self.cfg.validate_batch_size,
         )
+        if self.cfg.ingest_steps:
+            from ..functions import builtin_steps  # noqa: F401 (register)
+            from ..functions.registry import StepSpec, build_pipeline
+
+            ds = build_pipeline(
+                ds,
+                [StepSpec(name=n, kwargs=dict(kw)) for n, kw in self.cfg.ingest_steps],
+            )
         salts = self.cfg.hot_key_salts
         if salts is None and self.cfg.auto_salt:
             from ..sources.sample import detect_hot_keys

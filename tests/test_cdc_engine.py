@@ -341,3 +341,30 @@ def test_follow_generator_consumes_appended_waves(ray_session, tmp_path):
     assert m2.watermark_lsn == 2999
     assert list(it) == []  # exhausts after 2 empty polls
     assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_ingest_steps_run_during_apply(ray_session, tmp_path):
+    """EngineConfig.ingest_steps (tartare's contributor preprocesses):
+    a truncate_tokens step at ingest caps every committed sequence and
+    keeps the n_tok invariant."""
+    import pyarrow.compute as pc
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=3000, n_docs=300, max_len=40)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"),
+        str(tmp_path / "t"),
+        EngineConfig(
+            num_partitions=4,
+            ingest_steps=(("truncate_tokens", {"max_len": 8}),),
+        ),
+    )
+    eng.replay()
+    snap = eng.snapshot_table()
+    lens = pc.list_value_length(snap["tokens"]).to_pylist()
+    assert max(lens) <= 8
+    assert lens == snap["n_tok"].to_pylist()
+    # same survivors as the untouched replay (steps transform, not drop)
+    exp = replay_oracle(res.files)
+    assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
