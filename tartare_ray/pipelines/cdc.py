@@ -399,13 +399,19 @@ class CdcEngine:
         return load_epoch(self.table_root, epoch)
 
     def snapshot_dataset(
-        self, epoch: int | None = None, columns: list[str] | None = None
+        self,
+        epoch: int | None = None,
+        columns: list[str] | None = None,
+        predicate=None,
     ) -> ray.data.Dataset:
         """The committed table as a streaming Dataset (conformed to the
         manifest schema — older partition files evolve lazily at read).
         ``epoch`` time-travels to any un-GC'd committed epoch;
         ``columns`` prunes at the Parquet scan (pure-base manifests:
-        only those column chunks leave storage).
+        only those column chunks leave storage); ``predicate`` (a
+        ``pyarrow.dataset`` expression over snapshot columns) pushes
+        down to row-group statistics on base scans and is applied
+        post-fold on delta chains.
 
         Pure-base manifests (cow, or delta fully compacted) stream via
         ``read_parquet``; manifests with live delta chains go through a
@@ -421,31 +427,61 @@ class CdcEngine:
         target = (
             pa.schema([m.schema.field(c) for c in columns]) if columns else m.schema
         )
+        def post_pred(b: pa.Table) -> pa.Table:
+            # the predicate may reference columns outside the requested
+            # projection: conform to the FULL schema, filter, project
+            import pyarrow.dataset as pads
+
+            b = conform(b, m.schema)
+            if len(b):
+                b = pads.dataset(b).to_table(filter=predicate)
+            return conform(b, target)
+
         if all(pl.kind == "base" for pl in m.partitions):
             files = [f"{self.table_root}/{pl.file}" for pl in m.partitions]
             # no schema= override (pathological datasource ctor — see
             # run_epoch); older files conform per batch instead.
             ray.data.DataContext.get_current().decoding_size_estimation = False
-            if not columns:
+            if not columns and predicate is None:
                 return ray.data.read_parquet(files).map_batches(
                     lambda b: conform(b, target),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 )
             # a carried-forward pre-evolution file may LACK a requested
-            # column — group files by the subset they physically have
-            # (footer-only check) and union the pruned scans
+            # column — group files by the columns they physically have
+            # (footer-only check) and union the pruned scans.  The
+            # predicate pushes down only to files carrying EVERY
+            # snapshot column (an expression may reference any of
+            # them); older files filter post-conform instead.
+            all_names = set(m.schema.names)
+            want = columns or list(m.schema.names)
             groups: dict[tuple, list[str]] = {}
+            complete: dict[tuple, bool] = {}
             for f in files:
                 names = set(pq.read_schema(f).names)
-                groups.setdefault(tuple(c for c in columns if c in names), []).append(f)
+                key = tuple(c for c in want if c in names)
+                groups.setdefault(key, []).append(f)
+                complete[key] = all_names <= names
             parts = []
             for have, fs in groups.items():
-                sub = ray.data.read_parquet(fs, columns=list(have) or None).map_batches(
-                    lambda b: conform(b, target),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
+                push = predicate is not None and complete[have]
+                if predicate is not None and not push:
+                    # can't push: the file may lack a referenced column
+                    # — read everything it has, filter post-conform
+                    sub = ray.data.read_parquet(fs).map_batches(
+                        post_pred, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                else:
+                    sub = ray.data.read_parquet(
+                        fs,
+                        columns=list(have) or None,
+                        filter=predicate if push else None,
+                    ).map_batches(
+                        lambda b: conform(b, target),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
                 parts.append(sub)
             ds = parts[0]
             for sub in parts[1:]:
@@ -464,7 +500,9 @@ class CdcEngine:
             batch_format="pyarrow",
             batch_size=1,
         )
-        if columns:
+        if predicate is not None:
+            ds = ds.map_batches(post_pred, batch_format="pyarrow", zero_copy_batch=True)
+        elif columns:
             ds = ds.map_batches(
                 lambda b: conform(b, target), batch_format="pyarrow", zero_copy_batch=True
             )

@@ -368,3 +368,40 @@ def test_ingest_steps_run_during_apply(ray_session, tmp_path):
     # same survivors as the untouched replay (steps transform, not drop)
     exp = replay_oracle(res.files)
     assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+
+
+def test_snapshot_predicate_pushdown(ray_session, tmp_path):
+    """predicate= pushes to row-group stats on base scans (and filters
+    post-fold on chains); with columns= it may reference non-projected
+    columns; results equal the driver-side filter."""
+    import pyarrow as paa
+    import pyarrow.dataset as pads
+
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=4000, n_docs=400, events_per_file=1000, add_col_frac=0.5),
+    )
+    for mode in ("cow", "delta"):
+        eng = CdcEngine(
+            str(tmp_path / "log"), str(tmp_path / f"t-{mode}"),
+            EngineConfig(num_partitions=4, epoch_max_files=1, write_mode=mode,
+                         compact_chain_len=100),
+        )
+        eng.replay()
+        full = eng.snapshot_table()
+        pred = pads.field("source") == "src1"
+        got = paa.concat_tables(
+            eng.snapshot_dataset(predicate=pred).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ).sort_by([("doc_id", "ascending")])
+        exp = full.filter(paa.compute.equal(full["source"], "src1"))
+        assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist(), mode
+        # projection + predicate on a non-projected column
+        got2 = paa.concat_tables(
+            eng.snapshot_dataset(columns=["doc_id", "n_tok"], predicate=pred).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ).sort_by([("doc_id", "ascending")])
+        assert got2.schema.names == ["doc_id", "n_tok"]
+        assert got2["doc_id"].to_pylist() == exp["doc_id"].to_pylist(), mode
