@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "asof_join",
     "window_agg",
+    "broadcast_join",
+    "grouped_quantile",
     "sessionize",
     "token_count",
     "exact_dedup",
@@ -48,6 +50,7 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "ann_topk",
     "multimodal_meta",
+    "cdc_pack_sequences",
 ]
 
 
