@@ -78,8 +78,14 @@ def load_epoch(table_root: str, epoch: int) -> Manifest:
     """A committed epoch's manifest — time travel to any epoch still
     retained by ``gc_epochs`` (tartare's immutable dated Export
     analogue: every epoch is a readable artifact until GC'd)."""
-    with open(_manifest_path(table_root, epoch)) as f:
-        d = json.load(f)
+    try:
+        with open(_manifest_path(table_root, epoch)) as f:
+            d = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no manifest for epoch {epoch} under {table_root!r} — epoch was "
+            f"never committed, or its manifest was GC'd (gc_epochs keep_last)"
+        ) from None
     d["partitions"] = [PartitionLineage(**p) for p in d["partitions"]]
     return Manifest(**d)
 

@@ -405,3 +405,17 @@ def test_snapshot_predicate_pushdown(ray_session, tmp_path):
         ).sort_by([("doc_id", "ascending")])
         assert got2.schema.names == ["doc_id", "n_tok"]
         assert got2["doc_id"].to_pylist() == exp["doc_id"].to_pylist(), mode
+
+
+def test_time_travel_to_gcd_epoch_errors_clearly(ray_session, tmp_path):
+    from tartare_ray.state.manifest import gc_epochs
+
+    res = generate_log(str(tmp_path / "log"), GenConfig(n_events=3000, n_docs=300, events_per_file=1000))
+    eng = CdcEngine(str(tmp_path / "log"), str(tmp_path / "t"),
+                    EngineConfig(num_partitions=2, epoch_max_files=1))
+    eng.replay()
+    gc_epochs(eng.table_root, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="GC'd|never committed"):
+        eng.snapshot_table(epoch=1)
+    # retained epoch still reads
+    assert len(eng.snapshot_table(epoch=3)) > 0
