@@ -55,3 +55,32 @@ def test_derive_log_idempotent(tmp_path):
     first = sorted(os.listdir(d))
     derive_change_log(SF, d)  # marker hit: no rewrite
     assert sorted(os.listdir(d)) == first
+
+
+def test_bench_emits_valid_json_line(tmp_path):
+    """Guard the driver's per-round bench: tiny config end-to-end, one
+    parseable JSON line with the contract keys."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo",
+        RAY_ADDRESS="local",
+        GRAFT_BENCH_EVENTS="50000",
+        RAY_GRAFT_CPUS="4",
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    for key in ("metric", "value", "unit", "queries", "sf", "num_cpus", "cdc"):
+        assert key in out, key
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert out["cdc"]["events_per_sec"] > 0
+    assert len(out["queries"]) >= 10
