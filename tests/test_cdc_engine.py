@@ -419,3 +419,48 @@ def test_time_travel_to_gcd_epoch_errors_clearly(ray_session, tmp_path):
         eng.snapshot_table(epoch=1)
     # retained epoch still reads
     assert len(eng.snapshot_table(epoch=3)) > 0
+
+
+def test_kitchen_sink_config_combination(ray_session, tmp_path):
+    """All engine options at once — multi-source union, delta write
+    mode, forced salting, late materialization, an ingest transform —
+    interact correctly: final table equals the oracle folded through
+    the same transform."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging,
+        GenConfig(n_events=6000, n_docs=500, events_per_file=1000,
+                  widen_frac=0.6, add_col_frac=0.8),
+    )
+    dirs = [str(tmp_path / f"s{k}") for k in range(2)]
+    for d in dirs:
+        os.makedirs(d)
+    for i, f in enumerate(res.files):
+        shutil.copy(f, dirs[i % 2])
+    eng = CdcEngine(
+        dirs,
+        str(tmp_path / "t"),
+        EngineConfig(
+            num_partitions=4,
+            epoch_max_files=2,
+            write_mode="delta",
+            compact_chain_len=2,
+            hot_key_salts=3,
+            late_materialization=True,
+            late_mat_max_ratio=1.01,
+            ingest_steps=(("truncate_tokens", {"max_len": 10}),),
+        ),
+    )
+    eng.replay()
+    snap = eng.snapshot_table()
+    exp = replay_oracle(res.files)
+    assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    # expected tokens = oracle tokens truncated to 10
+    for a, b in zip(snap["tokens"].to_pylist(), exp["tokens"].to_pylist()):
+        assert a == (b[:10] if b is not None else None)
+    lens = pc.list_value_length(snap["tokens"]).to_pylist()
+    assert lens == snap["n_tok"].to_pylist()
