@@ -464,3 +464,21 @@ def test_kitchen_sink_config_combination(ray_session, tmp_path):
         assert a == (b[:10] if b is not None else None)
     lens = pc.list_value_length(snap["tokens"]).to_pylist()
     assert lens == snap["n_tok"].to_pylist()
+
+
+def test_late_mat_adaptive_fallback_on_low_duplication(ray_session, tmp_path):
+    """When nearly every event wins (no duplication), phase 1 returns
+    None (a second full read buys nothing) and the epoch runs the
+    classic path — still matching the oracle."""
+    from tartare_ray.sources.tail import pending_files
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=2000, n_docs=100000)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"), str(tmp_path / "t"),
+        EngineConfig(num_partitions=4, late_materialization=True),  # ratio 0.7
+    )
+    assert eng._phase1_winners(pending_files(str(tmp_path / "log"), -1), -1, 4) is None
+    eng.replay()
+    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
