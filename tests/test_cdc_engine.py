@@ -470,15 +470,32 @@ def test_late_mat_adaptive_fallback_on_low_duplication(ray_session, tmp_path):
     """When nearly every event wins (no duplication), phase 1 returns
     None (a second full read buys nothing) and the epoch runs the
     classic path — still matching the oracle."""
+    import pyarrow.parquet as pqq
+
     from tartare_ray.sources.tail import pending_files
 
-    res = generate_log(
-        str(tmp_path / "log"), GenConfig(n_events=2000, n_docs=100000)
+    # strictly unique doc_ids: winners/events == 1.0 > 0.7
+    n = 200
+    t = pa.table(
+        {
+            "lsn": pa.array(range(n), pa.int64()),
+            "op": ["I"] * n,
+            "doc_id": [f"u{i:05d}" for i in range(n)],
+            "tokens": pa.array([[i] for i in range(n)], pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": ["s"] * n,
+            "schema_version": pa.array([1] * n, pa.int32()),
+        }
     )
+    log = tmp_path / "log"
+    log.mkdir()
+    pqq.write_table(t, str(log / "events-000000.parquet"))
     eng = CdcEngine(
-        str(tmp_path / "log"), str(tmp_path / "t"),
+        str(log), str(tmp_path / "t"),
         EngineConfig(num_partitions=4, late_materialization=True),  # ratio 0.7
     )
-    assert eng._phase1_winners(pending_files(str(tmp_path / "log"), -1), -1, 4) is None
+    assert eng._phase1_winners(pending_files(str(log), -1), -1, 4) is None
     eng.replay()
-    assert_tables_equal(eng.snapshot_table(), replay_oracle(res.files))
+    assert_tables_equal(
+        eng.snapshot_table(), replay_oracle([str(log / "events-000000.parquet")])
+    )
