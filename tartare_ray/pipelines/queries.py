@@ -550,6 +550,34 @@ def grouped_quantile(sf_dir: str) -> pa.Table:
     )
 
 
+def rolling_window(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """Rolling-window aggregate (ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW): per-user time-ordered sliding sum — one hash shuffle on the
+    partition key, then a vectorized cumsum-difference per group (no
+    per-row Python).  Sums carried as integer cents (exact oracle)."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        cents = (
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0), ndigits=0), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(0, np.arange(len(cents)) - window + 1)
+        roll = cum[np.arange(1, len(cents) + 1)] - cum[lo]
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "roll_sum_cents": pa.array(roll, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 def anti_join(sf_dir: str) -> ray.data.Dataset:
     """Anti-join via broadcast small side (SURVEY.md §2A J4): distinct
     order custkeys are collected once and shipped through the object
@@ -1090,6 +1118,7 @@ QUERIES = {
     "broadcast_join": broadcast_join,
     "approx_count_distinct": approx_count_distinct,
     "grouped_quantile": grouped_quantile,
+    "rolling_window": rolling_window,
     "anti_join": anti_join,
     "count_distinct": count_distinct,
     "token_count": token_count,
@@ -1235,6 +1264,14 @@ ORACLE_SQL = {
                quantile_disc(l_extendedprice, 0.5) AS p50,
                quantile_disc(l_extendedprice, 0.9) AS p90
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "rolling_window": """
+        SELECT user_id, event_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_sum_cents
+        FROM events
     """,
     "anti_join": """
         SELECT c_custkey, c_name FROM customer c
