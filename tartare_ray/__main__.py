@@ -153,16 +153,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": "empty"}))
             return 0
         kinds = {}
+        chain_len = {}
         for pl in m.partitions:
             kinds[pl.kind] = kinds.get(pl.kind, 0) + 1
+            chain_len[pl.p] = chain_len.get(pl.p, 0) + 1
         print(json.dumps({
             "status": "committed",
             "epoch": m.epoch,
             "watermark_lsn": m.watermark_lsn,
             "rows": sum(pl.rows for pl in m.partitions),
             "bytes": sum(pl.bytes for pl in m.partitions),
-            "partitions": len({pl.p for pl in m.partitions}),
+            "partitions": len(chain_len),
             "files": kinds,
+            "max_chain_len": max(chain_len.values()),  # compaction signal
             "schema_fingerprint": m.schema_fingerprint,
         }))
         return 0
