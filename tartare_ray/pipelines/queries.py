@@ -550,6 +550,42 @@ def grouped_quantile(sf_dir: str) -> pa.Table:
     )
 
 
+def grouped_mode(sf_dir: str) -> ray.data.Dataset:
+    """Grouped mode (most frequent event_type per user, deterministic
+    tie-break): per-batch pair pre-distinct → exact pair counts → tiny
+    per-user argmax.  Same two-level machinery as count_distinct; the
+    final reduce sees ≤ |event_types| rows per user."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["event_type_count"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("n", "descending"), ("event_type", "ascending")]).slice(0, 1)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "mode_event_type": t["event_type"],
+                "n": t["n"],
+            }
+        )
+
+    return pairs.groupby("user_id").map_groups(pick, batch_format="pyarrow")
+
+
 def rolling_window(sf_dir: str, window: int = 3) -> ray.data.Dataset:
     """Rolling-window aggregate (ROWS BETWEEN n PRECEDING AND CURRENT
     ROW): per-user time-ordered sliding sum — one hash shuffle on the
@@ -1118,6 +1154,7 @@ QUERIES = {
     "broadcast_join": broadcast_join,
     "approx_count_distinct": approx_count_distinct,
     "grouped_quantile": grouped_quantile,
+    "grouped_mode": grouped_mode,
     "rolling_window": rolling_window,
     "anti_join": anti_join,
     "count_distinct": count_distinct,
@@ -1264,6 +1301,15 @@ ORACLE_SQL = {
                quantile_disc(l_extendedprice, 0.5) AS p50,
                quantile_disc(l_extendedprice, 0.9) AS p90
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouped_mode": """
+        SELECT user_id, event_type AS mode_event_type, n FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+                   ) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
     """,
     "rolling_window": """
         SELECT user_id, event_id,
