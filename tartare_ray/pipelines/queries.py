@@ -45,6 +45,14 @@ def _conc(frac: int = 4) -> int:
     cpus = int(ray.cluster_resources().get("CPU", 4))
     return max(1, cpus // frac)
 
+def _join_parts() -> int:
+    """Hash-join partition count from the live cluster: one partition
+    per CPU (floor 4) so join parallelism tracks cluster size instead
+    of a hardcoded constant — at 256 nodes the same code fans out to
+    thousands of partitions without edits."""
+    return max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
@@ -129,7 +137,7 @@ def hash_join(sf_dir: str) -> ray.data.Dataset:
     j = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=_join_parts(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -141,7 +149,7 @@ def join_agg(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_join_parts(), on=("o_custkey",), right_on=("c_custkey",)
     )
     agg = j.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -688,7 +696,7 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
 def tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
     ds = token_count(sf_dir)
     lang = _read(sf_dir, "documents", ["doc_id", "lang"])
-    j = ds.join(lang, join_type="inner", num_partitions=4, on=("doc_id",))
+    j = ds.join(lang, join_type="inner", num_partitions=_join_parts(), on=("doc_id",))
     return j.groupby("lang").aggregate(
         Sum("n_words", alias_name="total_words"), Count(alias_name="n_docs")
     )
@@ -1238,7 +1246,7 @@ ORACLE_SQL = {
     """,
     "json_extract": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                count(*) AS n_events
@@ -1258,7 +1266,7 @@ ORACLE_SQL = {
             FROM events
         )
         SELECT user_id, count(*) AS n_events,
-               1 + sum(new_session) AS n_sessions
+               CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id
     """,
     "window_agg": """
@@ -1351,7 +1359,7 @@ ORACLE_SQL = {
     """,
     "tokens_per_lang": """
         SELECT lang,
-               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_words,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_words,
                count(*) AS n_docs
         FROM documents GROUP BY lang
     """,
