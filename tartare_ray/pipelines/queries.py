@@ -786,24 +786,75 @@ def _sig_dataset(sf_dir: str, stage_cls, **kw) -> ray.data.Dataset:
     )
 
 
-def _sig_broadcast(sig_ds: ray.data.Dataset):
-    """ray.put handle of (doc_ids, uint64 sig matrix/vector) built from
-    the materialized signature blocks.  Broadcast small side — the
-    100 TB path replaces this with a partitioned signature join
-    (stages/dedup.py module docstring)."""
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in sig_ds.to_arrow_refs()]
-    ).combine_chunks()
-    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    sig_col = tbl["sig"]
-    if isinstance(sig_col, pa.ChunkedArray):
-        sig_col = sig_col.combine_chunks()
-    if pa.types.is_list(sig_col.type):
-        flat = sig_col.values.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        sig = flat.reshape(len(ids), -1)
-    else:
-        sig = sig_col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    return ray.put((ids, sig))
+def _size_parts(*dss: ray.data.Dataset, target_bytes: int = 128 << 20) -> int:
+    """Join partition count sized by the LARGER side's materialized
+    bytes (one ~128 MB partition each), capped at 4× cluster CPUs —
+    small inputs get few aggregator actors (startup dominates
+    otherwise), 100 TB inputs get CPU-proportional fan-out."""
+    biggest = 0
+    for ds in dss:
+        try:
+            biggest = max(biggest, ds.size_bytes() or 0)
+        except Exception:
+            pass
+    want = max(2, biggest // target_bytes + 1)
+    return int(min(want, 4 * _join_parts()))
+
+
+def _pairs_norm(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Candidate pairs → materialized, empty-block-free dataset.  The
+    sort-based pair-dedup aggregate emits zero-column empty blocks that
+    Acero's join rejects ("no match for FieldRef") and map_batches
+    skips; repartition coalesces them away.  Pairs are the small side
+    by construction so the materialize is O(candidates)."""
+    m = pairs.materialize()
+    return m.repartition(_size_parts(m, target_bytes=32 << 20)).materialize()
+
+
+def _join_side(sigs: ray.data.Dataset, key: str, sig: str, *, is_list: bool) -> ray.data.Dataset:
+    """Signature dataset → join-side (key, sig) with list signatures
+    re-encoded as fixed-width binary (Acero joins reject list
+    payloads); scalar signatures pass through renamed."""
+    if is_list:
+        return sigs.map_batches(
+            lambda b, key=key, sig=sig: D.sig_binary_batch(b, key, sig),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return sigs.map_batches(
+        lambda b, key=key, sig=sig: pa.table({key: b["doc_id"], sig: b["sig"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _attach_sigs(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    *,
+    is_list: bool,
+    a: str = "sig_a",
+    b: str = "sig_b",
+) -> ray.data.Dataset:
+    """Hash-partitioned verification join: candidate (doc_a, doc_b)
+    pairs ⋈ signatures on doc_a then doc_b.  This is the 100 TB path —
+    the data moved is O(candidates × sig_width); no driver-side or
+    broadcast whole-corpus structure (stages/dedup.py docstring)."""
+    nparts = _size_parts(pairs, sigs)
+    j = pairs.join(
+        _join_side(sigs, "a_id", a, is_list=is_list),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_a",),
+        right_on=("a_id",),
+    )
+    return j.join(
+        _join_side(sigs, "b_id", b, is_list=is_list),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_b",),
+        right_on=("b_id",),
+    )
 
 
 def _minhash_candidates(sf_dir: str):
@@ -822,12 +873,10 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pairs with
     signature-estimated Jaccard ≥ threshold."""
     pairs, sigs = _minhash_candidates(sf_dir)
-    sig_ref = _sig_broadcast(sigs)
-    return pairs.map_batches(
-        D.MinHashVerifyStage,
-        fn_constructor_kwargs=dict(sig_ref=sig_ref, threshold=threshold),
+    return _attach_sigs(_pairs_norm(pairs), sigs, is_list=True).map_batches(
+        lambda b: D.verify_minhash_pairs_batch(b, threshold=threshold),
         batch_format="pyarrow",
-        concurrency=_conc(),
+        zero_copy_batch=True,
     )
 
 
@@ -840,31 +889,52 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = _pairs_from_buckets(blocks, ["block", "block_val"])
-    sig_ref = _sig_broadcast(sigs)
-    return pairs.map_batches(
-        D.SimHashVerifyStage,
-        fn_constructor_kwargs=dict(sig_ref=sig_ref, max_hamming=max_hamming),
+    pairs = _pairs_norm(_pairs_from_buckets(blocks, ["block", "block_val"]))
+    return _attach_sigs(pairs, sigs, is_list=False).map_batches(
+        lambda b: D.verify_simhash_pairs_batch(b, max_hamming=max_hamming),
         batch_format="pyarrow",
-        concurrency=_conc(),
+        zero_copy_batch=True,
     )
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
-    """LSH candidates verified by EXACT shingle-set Jaccard (one extra
-    text pass to collect shingle sets for the broadcast)."""
+    """LSH candidates verified by EXACT shingle-set Jaccard.  The
+    second text pass is SEMI-JOINED to the candidate doc_ids (the
+    small side by construction — broadcast via ``ray.put``), then the
+    candidate-only shingle sets are hash-join-attached to the pairs;
+    nothing corpus-sized ever reaches the driver."""
     pairs, _sigs = _minhash_candidates(sf_dir)
-    shingle_sets: dict[int, np.ndarray] = {}
-    for b in _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow", batch_size=4096
-    ):
-        shingle_sets.update(D.doc_shingle_sets(b))
-    ref = ray.put(shingle_sets)
-    return pairs.map_batches(
-        D.JaccardVerifyStage,
-        fn_constructor_kwargs=dict(shingles_ref=ref, threshold=threshold),
+    pairs = _pairs_norm(pairs)
+    ids_a, ids_b = [], []
+    for t in pairs.iter_batches(batch_format="pyarrow"):
+        ids_a.append(t["doc_a"].to_numpy(zero_copy_only=False))
+        ids_b.append(t["doc_b"].to_numpy(zero_copy_only=False))
+    cand = np.unique(np.concatenate(ids_a + ids_b + [np.array([], dtype=np.int64)]))
+    cand_ref = ray.put(cand)
+
+    class CandidateShingleStage:
+        """Semi-join filter + shingle extraction; candidate-id set
+        resolved once per actor."""
+
+        def __init__(self, cand_ref):
+            self.cand = pa.array(ray.get(cand_ref), pa.int64())
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.is_in(b["doc_id"], value_set=self.cand))
+            return D.shingle_binary_batch(sub)
+
+    shingles = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        CandidateShingleStage,
+        fn_constructor_kwargs=dict(cand_ref=cand_ref),
         batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=_conc(),
+    ).materialize()
+    joined = _attach_sigs(pairs, shingles, is_list=False, a="sh_a", b="sh_b")
+    return joined.map_batches(
+        lambda b: D.verify_jaccard_pairs_batch(b, threshold=threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

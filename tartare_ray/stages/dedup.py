@@ -14,21 +14,23 @@ Shape of every pipeline (see ``pipelines/queries.py``):
         ──groupby(pair).first──▶ distinct pairs
         ──map_batches(VerifyStage, broadcast signatures)──▶ confirmed
 
-Scale notes (100 TB): the candidate-pair groupby is the only shuffle
-and it moves (doc_id, 8-byte bucket) rows, never text.  Verification
-broadcasts the signature matrix via ``ray.put`` — fine up to ~10^8 docs
-× 64 perms; beyond that, replace the broadcast with a hash-partitioned
-signature join on doc_id (same groupby machinery).  Buckets larger
-than ``max_bucket`` are skipped and counted (a bucket that collects
-thousands of docs is a degenerate band — all-pairs there is O(n²) and
-its members are caught by their other bands).
+Scale notes (100 TB): the candidate-pair groupby is the only
+corpus-sized shuffle and it moves (doc_id, 8-byte bucket) rows, never
+text.  Verification is a hash-partitioned JOIN of the candidate pairs
+against the materialized signature dataset (``Dataset.join`` on
+doc_a then doc_b, signatures carried as fixed-width binary — Acero
+joins reject list payloads) — no driver-side or broadcast whole-corpus
+structure anywhere; the data moved is O(candidates × sig_width).
+Buckets larger than ``max_bucket`` are skipped and counted (a bucket
+that collects thousands of docs is a degenerate band — all-pairs there
+is O(n²) and its members are caught by their other bands).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
+import pyarrow.compute as pc
 
 from ..functions import text as T
 from ..functions.hashing import (
@@ -198,94 +200,125 @@ def bucket_pairs_group(group: pa.Table, max_bucket: int = 256) -> pa.Table:
     return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
 
 
-class MinHashVerifyStage:
-    """Candidate pairs → estimated Jaccard from broadcast signatures.
+# --------------------------------------------------------------------------
+# Partitioned verification (pairs ⋈ signatures) — no broadcast, no driver
+# state.  Signatures travel as binary payload columns because Acero joins
+# reject list-typed non-key fields.
+# --------------------------------------------------------------------------
 
-    ``sig_ref`` is a ``ray.put`` handle to {doc_id: uint64 sig row};
-    resolved ONCE per actor in ``__init__`` (the broadcast-small-side
-    pattern, SURVEY.md §2A J1)."""
+def _as_binary_u64_rows(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """list<int64> signature column → one binary cell per row (the
+    row's uint64 words, little-endian) — a join-safe payload."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    byte_off = np.concatenate([[0], np.cumsum(lens * 8)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
 
-    def __init__(self, sig_ref, threshold: float):
-        doc_ids, sig = ray.get(sig_ref)
-        self.index = {d: i for i, d in enumerate(doc_ids)}
-        self.sig = sig
-        self.threshold = threshold
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        ia = np.fromiter((self.index[x] for x in a), dtype=np.int64, count=len(a))
-        ib = np.fromiter((self.index[x] for x in b), dtype=np.int64, count=len(b))
-        est = (self.sig[ia] == self.sig[ib]).mean(axis=1)
-        keep = est >= self.threshold
+def _u64_rows_from_binary(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """binary signature column → (flat uint64 array, row offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rows = col.to_numpy(zero_copy_only=False)
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint64)
+    lens = np.fromiter((len(r) // 8 for r in rows), dtype=np.int64, count=len(rows))
+    return flat, np.concatenate([[0], np.cumsum(lens)])
+
+
+def sig_binary_batch(batch: pa.Table, key: str, sig: str) -> pa.Table:
+    """(doc_id, sig list<int64>) → (key, sig binary) join-side table."""
+    return pa.table({key: batch["doc_id"], sig: _as_binary_u64_rows(batch["sig"])})
+
+
+def shingle_binary_batch(batch: pa.Table, key: str = "doc_id", out: str = "sig") -> pa.Table:
+    """documents batch → (doc_id, sorted-unique shingle hashes as
+    binary) — the exact-Jaccard join side."""
+    wh, offsets = T.word_hash_lists(batch["text"])
+    sh, sho = shingle_hashes(wh, offsets, k=SHINGLE_K)
+    ids = batch["doc_id"]
+    cells = [
+        np.unique(sh[sho[i] : sho[i + 1]]).tobytes() for i in range(len(ids))
+    ]
+    return pa.table({key: ids, out: pa.array(cells, pa.binary())})
+
+
+def verify_minhash_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b binary) → pairs with signature-
+    estimated Jaccard ≥ threshold.  Fully vectorized: fixed-width
+    signatures decode to one (n, perms) matrix per side."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
         return pa.table(
             {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "est_jaccard": pa.array(np.round(est[keep], 6)),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
             }
         )
+    fa, oa = _u64_rows_from_binary(batch["sig_a"])
+    fb, _ = _u64_rows_from_binary(batch["sig_b"])
+    p = int(oa[1] - oa[0])
+    est = (fa.reshape(-1, p) == fb.reshape(-1, p)).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "est_jaccard": pa.array(np.round(est[keep], 6)),
+        }
+    )
 
 
-class SimHashVerifyStage:
-    def __init__(self, sig_ref, max_hamming: int):
-        doc_ids, sig = ray.get(sig_ref)
-        self.index = {d: i for i, d in enumerate(doc_ids)}
-        self.sig = sig
-        self.max_hamming = max_hamming
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        ia = np.fromiter((self.index[x] for x in a), dtype=np.int64, count=len(a))
-        ib = np.fromiter((self.index[x] for x in b), dtype=np.int64, count=len(b))
-        ham = hamming_distance_u64(self.sig[ia], self.sig[ib])
-        keep = ham <= self.max_hamming
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "hamming": pa.array(ham[keep].astype(np.int64)),
-            }
-        )
+def verify_simhash_pairs_batch(batch: pa.Table, max_hamming: int) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b int64) → pairs within Hamming
+    distance ``max_hamming``."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    sa = batch["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+    sb = batch["sig_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ham = hamming_distance_u64(sa, sb)
+    keep = ham <= max_hamming
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "hamming": pa.array(ham[keep].astype(np.int64)),
+        }
+    )
 
 
-class JaccardVerifyStage:
-    """Candidate pairs → EXACT shingle-set Jaccard, via a broadcast
-    {doc_id → sorted unique shingle array} built from the candidate
-    docs only (the small side by construction)."""
-
-    def __init__(self, shingles_ref, threshold: float):
-        self.shingles: dict = ray.get(shingles_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):  # per-PAIR loop (few candidates), set math vectorized
-            sx, sy = self.shingles[x], self.shingles[y]
+def verify_jaccard_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sh_a, sh_b binary) → EXACT shingle-set Jaccard.
+    Per-PAIR loop over the (small) candidate batch; the set math per
+    pair is vectorized numpy."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    out_a, out_b, out_j = [], [], []
+    if len(a):
+        fa, oa = _u64_rows_from_binary(batch["sh_a"])
+        fb, ob = _u64_rows_from_binary(batch["sh_b"])
+        for i in range(len(a)):
+            sx = fa[oa[i] : oa[i + 1]]
+            sy = fb[ob[i] : ob[i + 1]]
             inter = len(np.intersect1d(sx, sy, assume_unique=True))
             union = len(sx) + len(sy) - inter
             j = inter / union if union else 1.0
-            if j >= self.threshold:
-                out_a.append(x)
-                out_b.append(y)
+            if j >= threshold:
+                out_a.append(int(a[i]))
+                out_b.append(int(b[i]))
                 out_j.append(round(j, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-
-def doc_shingle_sets(batch: pa.Table) -> dict[int, np.ndarray]:
-    """{doc_id: sorted unique shingle hashes} for one Arrow batch."""
-    wh, offsets = T.word_hash_lists(batch["text"])
-    sh, sho = shingle_hashes(wh, offsets, k=SHINGLE_K)
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return {
-        int(d): np.unique(sh[sho[i] : sho[i + 1]]) for i, d in enumerate(ids)
-    }
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
