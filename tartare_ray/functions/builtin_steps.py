@@ -36,7 +36,7 @@ register_step("resize")(MM.ResizeStage)
 register_step("frame_sample")(MM.FrameSampleStage)
 
 
-@register_step("quality_filter")
+@register_step("quality_filter", row_filter=True)
 def quality_filter(
     batch: pa.Table,
     min_words: int = 8,

@@ -32,20 +32,32 @@ class Step:
     stateful: bool
     batch_format: str = "pyarrow"
     zero_copy_batch: bool = True
+    # Row-dropping steps need special placement on the CDC ingest
+    # path: they must run BEFORE the validate stage's per-batch
+    # latest-per-key pre-reduce, or whether an older event resurfaces
+    # for a filtered-out winner would depend on batch boundaries
+    # (batch-layout-dependent committed state).  Flagged steps are
+    # hoisted into the validate stage; they must be stateless and
+    # pyarrow-format.
+    row_filter: bool = False
 
 
-def register_step(name: str, *, batch_format: str = "pyarrow"):
+def register_step(name: str, *, batch_format: str = "pyarrow", row_filter: bool = False):
     """Decorator: ``@register_step("my_step")`` over a function or a
     callable class.  Classes are stateful (actor pool); functions are
-    stateless (tasks)."""
+    stateless (tasks).  Pass ``row_filter=True`` for steps that DROP
+    rows (see ``Step.row_filter``)."""
 
     def deco(obj):
+        if row_filter and inspect.isclass(obj):
+            raise ValueError(f"row_filter step {name!r} must be a function")
         _REGISTRY[name] = Step(
             name=name,
             fn=obj,
             stateful=inspect.isclass(obj),
             batch_format=batch_format,
             zero_copy_batch=batch_format == "pyarrow",
+            row_filter=row_filter,
         )
         return obj
 

@@ -16,11 +16,16 @@ from .state.manifest import Manifest
 
 def epoch_metrics(m: Manifest, touched: list[int], wall_s: float) -> dict:
     # this epoch's entries only (delta mode: a partition has a chain of
-    # entries; the one written this epoch carries this epoch's counts)
-    by_p = {pl.p: pl for pl in m.partitions if pl.epoch == m.epoch}
-    if not by_p:  # pre-chain manifests (epoch field defaulted to 0)
-        by_p = {pl.p: pl for pl in m.partitions}
-    applied = [by_p[p].events_applied for p in touched if p in by_p]
+    # entries; the ones written this epoch carry this epoch's counts —
+    # split-exchange epochs may write SEVERAL files per partition, so
+    # counts are summed per p)
+    this_epoch = [pl for pl in m.partitions if pl.epoch == m.epoch]
+    if not this_epoch:  # pre-chain manifests (epoch field defaulted to 0)
+        this_epoch = list(m.partitions)
+    by_p: dict[int, int] = {}
+    for pl in this_epoch:
+        by_p[pl.p] = by_p.get(pl.p, 0) + pl.events_applied
+    applied = [by_p[p] for p in touched if p in by_p]
     total = sum(applied)
     mean = total / len(applied) if applied else 0.0
     return {
@@ -32,7 +37,7 @@ def epoch_metrics(m: Manifest, touched: list[int], wall_s: float) -> dict:
         "wall_s": round(wall_s, 3),
         "events_per_sec": round(total / wall_s, 1) if wall_s > 0 else None,
         "skew_max_over_mean": round(max(applied) / mean, 3) if applied and mean else None,
-        "per_partition_events": {str(p): by_p[p].events_applied for p in touched if p in by_p},
+        "per_partition_events": {str(p): by_p[p] for p in touched if p in by_p},
     }
 
 

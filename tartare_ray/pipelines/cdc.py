@@ -41,7 +41,7 @@ from ..state.manifest import (
     load_current,
     load_epoch,
 )
-from ..stages.apply import MergeApplier
+from ..stages.apply import MergeApplier, SplitApplier
 from ..stages.validate import ValidatePartitionStage
 
 
@@ -86,6 +86,20 @@ class EngineConfig:
     # write amplification O(epoch winners) instead of O(table)).
     write_mode: str = "cow"
     compact_chain_len: int = 8
+    # Partition exchange strategy (SURVEY.md §8.1):
+    # "sort": groupby("part").map_groups — one deterministic writer per
+    #   partition per epoch; required for cow mode (the applier must see
+    #   the whole partition to rewrite it).
+    # "hash": Ray HASH_SHUFFLE repartition(keys=["part"]) consumed by
+    #   the split-tolerant SplitApplier as plain tasks — no global sort,
+    #   the epoch's only all-to-all becomes a pure hash bucket exchange.
+    #   Delta mode only (split writers can't rewrite whole partitions);
+    #   a part split across blocks yields multiple same-epoch delta
+    #   files whose conflicts the read-side fold resolves by LSN.
+    #   Hot keys need no salted pre-reduce here: an oversized partition
+    #   is split into multiple blocks by size, each reduced by its own
+    #   task — the splitting IS the salting.
+    exchange: str = "sort"
     # Late materialization: a column-pruned envelope pass (lsn/op/doc_id
     # only) determines the winning LSN set first; the full read then
     # filters to winners BEFORE the partition exchange, so the shuffle
@@ -214,7 +228,16 @@ class CdcEngine:
         max_bytes = self.cfg.epoch_max_bytes
         if max_bytes is None:
             store = ray.cluster_resources().get("object_store_memory")
-            max_bytes = int(store // 20) if store else None
+            # Sort exchange: store/20 of footer bytes keeps the epoch's
+            # monolithic sort in memory (~store/6 resident, measured).
+            # Hash exchange has no global sort — blocks stream through
+            # per-bucket aggregators under backpressure — so it
+            # tolerates 4× bigger epochs (fewer commit barriers; 1.88M
+            # vs 1.42M ev/s at 24M events, measured).
+            divisor = 5 if (
+                self.cfg.exchange == "hash" and self.cfg.write_mode == "delta"
+            ) else 20
+            max_bytes = int(store // divisor) if store else None
         chosen = plan_epoch(
             pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events, max_bytes
         )
@@ -252,9 +275,58 @@ class CdcEngine:
         # objects, so 8×CPU block counts drown the scheduler in tiny
         # objects (measured: 225 blocks → 0.7M ev/s, 64 blocks → 1M+).
         num_blocks = max(cpus, min(-(-total_bytes // (64 << 20)), cpus * 2))
+        # Row-dropping ingest steps are hoisted into the validate
+        # stage (before its pre-reduce — batch-invariant semantics,
+        # see ValidatePartitionStage.row_filters) and they force late
+        # materialization OFF: phase-1 winners are computed from the
+        # envelope only, so a filtered winner would deterministically
+        # drop its doc's older surviving events — the event-stream
+        # filter semantics need full payloads in the main scan anyway
+        # (the filter itself prunes the shuffle instead).
+        row_filters, xform_steps = self._split_ingest_steps()
         winners_ref = None
-        if self.cfg.late_materialization:
+        if self.cfg.late_materialization and not row_filters:
             winners_ref = self._phase1_winners(chosen, watermark, cpus)
+        use_hash = self.cfg.exchange == "hash" and self.cfg.write_mode == "delta"
+        ctx = ray.data.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        if use_hash:
+            from ray.data.context import ShuffleStrategy
+
+            # captured by the dataset at creation; restored in finally
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            return self._run_epoch_pipeline(
+                chosen, cur, epoch, watermark, snap_schema, change_schema,
+                parent_chain, cpus, applier_conc, num_blocks, winners_ref,
+                use_hash, row_filters, xform_steps, t0,
+            )
+        finally:
+            ctx.shuffle_strategy = prev_strategy
+
+    def _split_ingest_steps(self):
+        """Partition cfg.ingest_steps into pre-reduce row filters
+        (bound ``(fn, kwargs)`` pairs) and post-validate transform
+        StepSpecs, preserving declared order within each class."""
+        if not self.cfg.ingest_steps:
+            return (), ()
+        from ..functions import builtin_steps  # noqa: F401 (register)
+        from ..functions.registry import get_step
+
+        filters, xforms = [], []
+        for n, kw in self.cfg.ingest_steps:
+            step = get_step(n)
+            if step.row_filter:
+                filters.append((step.fn, dict(kw)))
+            else:
+                xforms.append((n, kw))
+        return tuple(filters), tuple(xforms)
+
+    def _run_epoch_pipeline(
+        self, chosen, cur, epoch, watermark, snap_schema, change_schema,
+        parent_chain, cpus, applier_conc, num_blocks, winners_ref,
+        use_hash, row_filters, xform_steps, t0,
+    ) -> Manifest:
         ds = ray.data.read_parquet(
             [f.path for f in chosen],
             override_num_blocks=num_blocks,
@@ -268,6 +340,7 @@ class CdcEngine:
             num_partitions=self.cfg.num_partitions,
             quarantine_dir=f"{self.table_root}/_quarantine/e{epoch:06d}",
             winners_ref=winners_ref,
+            row_filters=row_filters,
         )
         ds = ds.map_batches(
             validator,
@@ -275,37 +348,61 @@ class CdcEngine:
             zero_copy_batch=True,
             batch_size=self.cfg.validate_batch_size,
         )
-        if self.cfg.ingest_steps:
-            from ..functions import builtin_steps  # noqa: F401 (register)
+        if xform_steps:
             from ..functions.registry import StepSpec, build_pipeline
 
             ds = build_pipeline(
                 ds,
-                [StepSpec(name=n, kwargs=dict(kw)) for n, kw in self.cfg.ingest_steps],
+                [StepSpec(name=n, kwargs=dict(kw)) for n, kw in xform_steps],
             )
-        salts = self.cfg.hot_key_salts
-        if salts is None and self.cfg.auto_salt:
-            from ..sources.sample import detect_hot_keys
+        if use_hash:
+            # Sort-free exchange: hash-bucket rows by part; the
+            # split-tolerant applier runs as TASKS (no actor pool —
+            # hash-shuffle aggregators deadlock against pools,
+            # BASELINE.md) and tolerates parts split across blocks.
+            # Hot-key salting is unnecessary on this path (see
+            # EngineConfig.exchange).
+            # Exchange bucket count is independent of table partitions:
+            # the applier tolerates several parts per bucket and parts
+            # split across blocks, so buckets ≈ CPUs minimizes slice
+            # and aggregator-actor overhead.
+            n_buckets = min(self.cfg.num_partitions, max(8, cpus))
+            ds = ds.repartition(n_buckets, keys=["part"])
+            lineage_ds = ds.map_batches(
+                SplitApplier(
+                    table_root=self.table_root,
+                    epoch=epoch,
+                    snapshot_schema=snap_schema,
+                    compression=self.cfg.compression,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        else:
+            salts = self.cfg.hot_key_salts
+            if salts is None and self.cfg.auto_salt:
+                from ..sources.sample import detect_hot_keys
 
-            rep = detect_hot_keys(chosen, self.cfg.num_partitions)
-            salts = rep.recommended_salts
-        if salts and salts > 1:
-            ds = _salted_pre_reduce(ds, salts)
-        lineage_ds = ds.groupby("part").map_groups(
-            MergeApplier,
-            fn_constructor_kwargs=dict(
-                table_root=self.table_root,
-                epoch=epoch,
-                snapshot_schema=snap_schema,
-                parent_chain=parent_chain,
-                compression=self.cfg.compression,
-                mode=self.cfg.write_mode,
-                compact_chain_len=self.cfg.compact_chain_len,
-            ),
-            batch_format="pyarrow",
-            concurrency=applier_conc,
-        )
-        lineage_rows = lineage_ds.take_all()  # ≤ P rows — small by design
+                rep = detect_hot_keys(chosen, self.cfg.num_partitions)
+                salts = rep.recommended_salts
+            if salts and salts > 1:
+                ds = _salted_pre_reduce(ds, salts)
+            lineage_ds = ds.groupby("part").map_groups(
+                MergeApplier,
+                fn_constructor_kwargs=dict(
+                    table_root=self.table_root,
+                    epoch=epoch,
+                    snapshot_schema=snap_schema,
+                    parent_chain=parent_chain,
+                    compression=self.cfg.compression,
+                    mode=self.cfg.write_mode,
+                    compact_chain_len=self.cfg.compact_chain_len,
+                ),
+                batch_format="pyarrow",
+                concurrency=applier_conc,
+            )
+        lineage_rows = lineage_ds.take_all()  # O(P) rows — small by design
 
         touched = {int(r["p"]): r for r in lineage_rows}
         partitions: list[PartitionLineage] = [
@@ -350,6 +447,17 @@ class CdcEngine:
         except Exception:
             pass
         write_epoch_metrics(self.table_root, metrics)
+        if use_hash:
+            # Split mode never compacts inline (two splits of one part
+            # would race); fold overlong chains in a dedicated
+            # no-shuffle pass under the already-held writer lock.
+            from collections import Counter
+
+            per_p = Counter(pl.p for pl in m.partitions)
+            if per_p and max(per_p.values()) >= self.cfg.compact_chain_len:
+                m2 = self._compact_locked()
+                if m2 is not None:
+                    return m2
         return m
 
     def _commit(self, m: Manifest) -> None:
@@ -529,12 +637,51 @@ class CdcEngine:
         )
         touched = [pl for pl in m.partitions if pl.epoch == epoch]
         if touched and all(pl.kind == "delta" for pl in touched):
-            files = [f"{self.table_root}/{pl.file}" for pl in touched]
-            return ray.data.read_parquet(files).map_batches(
-                lambda b: conform(b, feed_schema),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            import json as _json
+
+            by_p: dict[int, list[str]] = {}
+            for pl in touched:
+                by_p.setdefault(pl.p, []).append(pl.file)
+            single = [
+                f"{self.table_root}/{fs[0]}" for fs in by_p.values() if len(fs) == 1
+            ]
+            multi = [fs for fs in by_p.values() if len(fs) > 1]
+            feeds = []
+            if single:
+                feeds.append(
+                    ray.data.read_parquet(single).map_batches(
+                        lambda b: conform(b, feed_schema),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                )
+            if multi:
+                # split-exchange epochs: one part may have several delta
+                # files with ≤1 winner per doc EACH — fold per part by
+                # LSN (task per part, no shuffle)
+                root = self.table_root
+
+                def fold(b: pa.Table) -> pa.Table:
+                    outs = []
+                    for row in b.to_pylist():
+                        ts = [
+                            conform(pq.read_table(f"{root}/{f}"), feed_schema)
+                            for f in _json.loads(row["files_json"])
+                        ]
+                        outs.append(
+                            latest_per_key(pa.concat_tables(ts), "doc_id", "lsn")
+                        )
+                    return pa.concat_tables(outs) if outs else feed_schema.empty_table()
+
+                items = [{"files_json": _json.dumps(fs)} for fs in multi]
+                feeds.append(
+                    ray.data.from_items(items).map_batches(
+                        fold, batch_format="pyarrow", batch_size=1
+                    )
+                )
+            if len(feeds) == 1:
+                return feeds[0]
+            return feeds[0].union(*feeds[1:])
         prev_w = (
             load_epoch(self.table_root, m.parent_epoch).watermark_lsn
             if m.parent_epoch is not None
@@ -550,7 +697,20 @@ class CdcEngine:
             return ray.data.from_arrow(feed_schema.empty_table())
 
         def in_range(b: pa.Table) -> pa.Table:
-            keep = pc.and_(pc.greater(b["lsn"], prev_w), pc.less_equal(b["lsn"], hi))
+            # same validity mask the validate stage applied when the
+            # epoch was committed — quarantined rows (malformed op,
+            # null doc_id/lsn) were never applied, so they must not
+            # enter the re-derived feed either
+            from ..stages.validate import VALID_OPS
+
+            ok = pc.and_(
+                pc.and_(pc.is_valid(b["lsn"]), pc.is_valid(b["doc_id"])),
+                pc.is_in(b["op"], value_set=pa.array(VALID_OPS)),
+            )
+            keep = pc.and_(
+                pc.fill_null(ok, False),
+                pc.and_(pc.greater(b["lsn"], prev_w), pc.less_equal(b["lsn"], hi)),
+            )
             return latest_per_key(conform(b.filter(keep), feed_schema), "doc_id", "lsn")
 
         ds = ray.data.read_parquet(log_files).map_batches(

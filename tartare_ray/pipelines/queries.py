@@ -992,21 +992,46 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _ivf_index_dir(sf_dir: str, n_clusters: int) -> str:
+    """Deterministic per-input cache location for the stored-assignment
+    IVF index — keyed on the source file's identity (path, size,
+    mtime) so a changed input rebuilds."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    import hashlib
+
+    key = hashlib.blake2b(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{n_clusters}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    return os.path.join("/tmp/tartare_ray/ivf", key)
+
+
 def ann_ivf_topk(
     sf_dir: str, n_queries: int = 10, k: int = 5, n_clusters: int = 16, nprobe: int = 4
 ) -> ray.data.Dataset:
-    """IVF approximate top-k — the coarse-quantizer scale path beside
-    the exact ``ann_topk``: spherical-kmeans centroids trained on a
-    driver-side sample, each query probes its ``nprobe`` nearest
-    cells, and one corpus pass scans only probed cells (~nprobe/k of
-    the data per query).  Rows-only driver check; recall vs the exact
-    brute force asserted in pytest."""
+    """IVF approximate top-k over a STORED-assignment index (SURVEY.md
+    §8.3): centroids are spherical-kmeans on a driver-side sample; one
+    build pass writes the corpus cluster-partitioned
+    (``cell=N/part-*.parquet``, cached per input); each query run then
+    PRUNES the read to its queries' ``nprobe`` probed cells —
+    ~nprobe/n_clusters of the corpus bytes, never a full rescan.
+    Rows-only driver check; recall vs the exact brute force asserted
+    in pytest."""
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     sample = tbl.slice(0, min(4096, len(tbl)))
     train = S.l2_normalize(S.embedding_matrix(sample))
     centroids = S.spherical_kmeans(train, n_clusters)
+    index_dir = _ivf_index_dir(sf_dir, n_clusters)
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        S.build_ivf_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir,
+            centroids,
+            concurrency=_conc(),
+        )
     qmask = pc.less(tbl["vec_id"], n_queries)
     qsub = tbl.filter(qmask)
     q_ids = qsub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1017,13 +1042,12 @@ def ann_ivf_topk(
         for c in cells:
             probe_map.setdefault(int(c), []).append(qi)
     probe_map = {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()}
-    cref, qref = ray.put(centroids), ray.put((q_ids, qm))
+    qref = ray.put((q_ids, qm))
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        S.IVFProbeStage,
-        fn_constructor_kwargs=dict(
-            centroids_ref=cref, queries_ref=qref, probe_map=probe_map, k=k
-        ),
+    paths = S.ivf_pruned_paths(index_dir, probes.ravel())
+    ds = ray.data.read_parquet(paths).map_batches(
+        S.IVFStoredProbeStage,
+        fn_constructor_kwargs=dict(queries_ref=qref, probe_map=probe_map, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=_conc(),

@@ -182,6 +182,105 @@ class MergeApplier:
         )
 
 
+class SplitApplier:
+    """Split-tolerant delta applier (the sort-free hash-exchange path,
+    SURVEY.md §8.1).  Consumes the hash-repartitioned change stream as
+    plain map_batches TASKS (never an actor pool — Ray 2.49's
+    hash-shuffle aggregator actors deadlock against a downstream actor
+    pool under a tight CPU budget, BASELINE.md): one call receives one
+    exchange partition's rows, which may hold SEVERAL parts, and — when
+    Ray splits large partitions into multiple blocks — only PART of a
+    part.  Correctness does not depend on one-writer-per-partition:
+
+    - each call writes its batch's per-part winners as an independent
+      delta file ``delta-{p}-e{E}-s{sid}.parquet`` where ``sid`` is a
+      content hash of the part's LSN set — a retried task rewrites the
+      same name with the same bytes (exactly-once), while distinct
+      splits of one part cannot collide;
+    - two splits of one part may both carry a winner for the same
+      doc_id (disjoint LSN subsets); the read-side fold resolves by
+      LSN (``merge_chain``), which the watermark invariant makes total;
+    - no inline compaction (two splits deciding to compact would race);
+      the engine triggers ``compact()`` after commit when a chain
+      exceeds the limit.
+
+    Unlike MergeApplier this stage never reads parent chains — it is a
+    pure pre-reduce + write, so apply wall is O(epoch winners) with no
+    read amplification.
+    """
+
+    def __init__(
+        self,
+        table_root: str,
+        epoch: int,
+        snapshot_schema: pa.Schema,
+        compression: str = "zstd",
+    ):
+        self.table_root = table_root
+        self.epoch = epoch
+        self.snapshot_schema = snapshot_schema
+        self.compression = compression
+        os.makedirs(os.path.join(table_root, "data"), exist_ok=True)
+
+    def _write(self, fname: str, tbl: pa.Table) -> str:
+        path = os.path.join(self.table_root, "data", fname)
+        tmp = path + ".inprogress"
+        pq.write_table(tbl, tmp, compression=self.compression)
+        os.replace(tmp, path)
+        return path
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        if len(batch) == 0:
+            return _lineage_table([])
+        raw_parts, raw_counts = np.unique(
+            batch["part"].combine_chunks().to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        applied = dict(zip(raw_parts.tolist(), raw_counts.tolist()))
+        winners = latest_per_key(batch, key="doc_id", order_col="lsn", hash_col="doc_hash")
+        envelope = pa.schema(
+            [pa.field(n, winners.schema.field(n).type) for n in DELTA_ENVELOPE]
+        )
+        body = conform(winners, self.snapshot_schema)
+        for name in reversed(DELTA_ENVELOPE):
+            body = body.add_column(0, envelope.field(name), winners[name])
+        body = body.append_column("doc_hash", winners["doc_hash"].combine_chunks())
+        body = body.append_column("part", winners["part"].combine_chunks())
+        # one vectorized sort: cluster parts, deterministic row order
+        body = body.sort_by(
+            [("part", "ascending"), ("doc_hash", "ascending"), ("doc_id", "ascending")]
+        )
+        parts = body["part"].combine_chunks().to_numpy(zero_copy_only=False)
+        lsns = body["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(parts)) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(parts)]])
+        rows = []
+        payload = body.drop_columns(["doc_hash", "part"])
+        for s, e in zip(starts, stops):
+            p = int(parts[s])
+            span = np.sort(lsns[s:e].copy())
+            sid = hashlib.blake2b(span.tobytes(), digest_size=8).hexdigest()
+            fname = f"delta-{p:05d}-e{self.epoch:06d}-s{sid}.parquet"
+            tbl = payload.slice(s, e - s)
+            path = self._write(fname, tbl)
+            rows.append(
+                {
+                    "p": p,
+                    "file": os.path.join("data", fname),
+                    "kind": "delta",
+                    "rows": e - s,
+                    "lsn_lo": int(span[0]),
+                    "lsn_hi": int(span[-1]),
+                    "events_applied": applied[p],
+                    "bytes": os.path.getsize(path),
+                }
+            )
+        return _lineage_table(rows)
+
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("p", pa.int32()),

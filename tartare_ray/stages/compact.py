@@ -36,33 +36,44 @@ DELTA_ENVELOPE = ("op", "lsn")
 
 def merge_chain(tables: list[pa.Table], snapshot_schema: pa.Schema) -> pa.Table:
     """Fold an ordered chain (base first, newest delta last) into the
-    live table: per doc_id the highest-priority row wins; winning
-    tombstones (op="D") are dropped.  Output sorted by (hash, doc_id)
-    — same deterministic order the applier writes."""
+    live table: per doc_id the row with the highest LSN wins (base
+    rows carry no LSN and lose every conflict by the watermark
+    invariant — every delta LSN > any LSN reflected in the base);
+    winning tombstones (op="D") are dropped.  LSN ordering — not chain
+    position — makes the fold correct when one epoch contributes
+    SEVERAL delta files for a partition (the split-tolerant hash
+    exchange), since the splits carry disjoint LSN sets per doc.
+    Output sorted by (hash, doc_id) — same deterministic order the
+    applier writes."""
     if not tables:
         return snapshot_schema.empty_table()
     parts = []
-    for prio, t in enumerate(tables):
+    for t in tables:
         n = len(t)
         op = (
             t["op"].combine_chunks()
             if "op" in t.schema.names
             else pa.nulls(n, pa.string())
         )
+        # base rows: no lsn column -> ordinal -1, lose all conflicts
+        if "lsn" in t.schema.names:
+            ord_col = t["lsn"].combine_chunks().cast(pa.int64())
+        else:
+            ord_col = pa.array(np.full(n, -1, dtype=np.int64))
         body = conform(t, snapshot_schema)
         body = body.append_column("__op", op)
-        body = body.append_column("__prio", pa.array(np.full(n, prio, dtype=np.int32)))
+        body = body.append_column("__ord", ord_col)
         body = body.append_column(
             "doc_hash", pa.array(key_hash(body["doc_id"]).view(np.int64))
         )
         parts.append(body)
     allt = pa.concat_tables(parts)
-    win = latest_per_key(allt, key="doc_id", order_col="__prio", hash_col="doc_hash")
+    win = latest_per_key(allt, key="doc_id", order_col="__ord", hash_col="doc_hash")
     live = win.filter(
         pc.fill_null(pc.not_equal(win["__op"], "D"), True)  # base rows: op null
     )
     live = live.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
-    return live.drop_columns(["__op", "__prio", "doc_hash"])
+    return live.drop_columns(["__op", "__ord", "doc_hash"])
 
 
 def read_chain(table_root: str, chain: list[dict], snapshot_schema: pa.Schema) -> pa.Table:

@@ -212,29 +212,145 @@ class IVFProbeStage:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = l2_normalize(embedding_matrix(batch))
         assign = np.argmax(m @ self.centroids.T, axis=1)
-        out_q, out_v, out_c = [], [], []
-        for cl in np.unique(assign):
-            q_rows = self.probe_map.get(int(cl))
-            if q_rows is None or not len(q_rows):
-                continue
-            sel = assign == cl
-            sims = self.q[q_rows] @ m[sel].T  # (nq, ncl)
-            vids = ids[sel]
-            for qi, row in zip(q_rows, sims):
-                nk = min(self.k + 1, len(row))
-                top = np.argpartition(-row, nk - 1)[:nk]
-                for t in top:
-                    if vids[t] != self.q_ids[qi]:
-                        out_q.append(self.q_ids[qi])
-                        out_v.append(vids[t])
-                        out_c.append(row[t])
-        return pa.table(
-            {
-                "q_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
+        return _probe_cells(ids, m, assign, self.q_ids, self.q, self.probe_map, self.k)
+
+
+def _probe_cells(ids, m, assign, q_ids, q, probe_map, k) -> pa.Table:
+    """Partial top-k of each probing query against its probed cells'
+    vectors in this batch (shared by the assign-on-read and
+    stored-assignment probe stages)."""
+    out_q, out_v, out_c = [], [], []
+    for cl in np.unique(assign):
+        q_rows = probe_map.get(int(cl))
+        if q_rows is None or not len(q_rows):
+            continue
+        sel = assign == cl
+        sims = q[q_rows] @ m[sel].T  # (nq, ncl)
+        vids = ids[sel]
+        for qi, row in zip(q_rows, sims):
+            nk = min(k + 1, len(row))
+            top = np.argpartition(-row, nk - 1)[:nk]
+            for t in top:
+                if vids[t] != q_ids[qi]:
+                    out_q.append(q_ids[qi])
+                    out_v.append(vids[t])
+                    out_c.append(row[t])
+    return pa.table(
+        {
+            "q_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+# -- stored-assignment IVF index (SURVEY.md §8.3) --------------------------
+#
+# Build once: one corpus pass assigns every vector to its nearest
+# centroid and writes the rows CLUSTER-PARTITIONED —
+# ``index_dir/cell=N/part-<hash>.parquet`` with ``cell`` kept as a
+# column — plus ``centroids.npy``.  A probe is then a PRUNED READ: only
+# the nprobe probed cells' directories are listed and scanned
+# (~nprobe/k of the corpus bytes), instead of rescanning and
+# re-assigning the full corpus per query run.  At larger scale the
+# build would add a ``repartition(keys=["cell"])`` before the write to
+# get one file run per cell; file-per-(batch,cell) is already a
+# correct pruned layout and keeps the build a single streaming pass.
+
+
+class IVFIndexWriter:
+    """Assign + write stage for ``build_ivf_index`` (runs as tasks).
+    Content-hash file names: a retried task rewrites the same file
+    with the same bytes (exactly-once)."""
+
+    def __init__(self, index_dir: str, centroids_ref):
+        self.index_dir = index_dir
+        self.centroids = ray.get(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        if len(batch) == 0:
+            return pa.table({"cell": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+        m = l2_normalize(embedding_matrix(batch))
+        cells = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        batch = batch.append_column("cell", pa.array(cells))
+        order = np.argsort(cells, kind="stable")
+        batch = batch.take(pa.array(order))
+        cs = cells[order]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(cs)]])
+        out_c, out_n = [], []
+        for s, e in zip(starts, stops):
+            c = int(cs[s])
+            d = os.path.join(self.index_dir, f"cell={c}")
+            os.makedirs(d, exist_ok=True)
+            sid = hashlib.blake2b(ids[s:e].tobytes(), digest_size=8).hexdigest()
+            path = os.path.join(d, f"part-{sid}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(batch.slice(s, e - s), tmp, compression="zstd")
+            os.replace(tmp, path)
+            out_c.append(c)
+            out_n.append(e - s)
+        return pa.table({"cell": pa.array(out_c, pa.int32()), "rows": pa.array(out_n, pa.int64())})
+
+
+def build_ivf_index(ds, index_dir: str, centroids: np.ndarray, concurrency=None) -> dict:
+    """One streaming corpus pass → cluster-partitioned assignment table
+    + ``centroids.npy``.  Returns {cell: rows} written."""
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    cref = ray.put(centroids)
+    if not concurrency:  # callable-class stages require a pool size
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
+    lineage = ds.map_batches(
+        IVFIndexWriter, fn_constructor_kwargs=dict(index_dir=index_dir, centroids_ref=cref), **kw
+    ).take_all()  # O(batches × cells-touched) rows — small
+    out: dict[int, int] = {}
+    for r in lineage:
+        out[int(r["cell"])] = out.get(int(r["cell"]), 0) + int(r["rows"])
+    return out
+
+
+def ivf_pruned_paths(index_dir: str, cells: np.ndarray) -> list[str]:
+    """The probed cells' files — the ONLY paths a probe reads
+    (expanded to files: Ray's read_parquet wants files when given a
+    path LIST)."""
+    import os
+
+    out = []
+    for c in sorted({int(c) for c in cells}):
+        d = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+            )
+    return out
+
+
+class IVFStoredProbeStage:
+    """Probe over the stored-assignment table: ``cell`` comes from the
+    column the build wrote — no centroid matmul, no full-corpus scan
+    (the read is already pruned to probed cells)."""
+
+    def __init__(self, queries_ref, probe_map, k: int):
+        self.q_ids, self.q = ray.get(queries_ref)
+        self.probe_map = probe_map
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = l2_normalize(embedding_matrix(batch))
+        assign = batch["cell"].to_numpy(zero_copy_only=False)
+        return _probe_cells(ids, m, assign, self.q_ids, self.q, self.probe_map, self.k)
 
 
 # -- text → embedding "model inference" stage -----------------------------

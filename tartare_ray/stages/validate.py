@@ -45,12 +45,22 @@ class ValidatePartitionStage:
         num_partitions: int,
         quarantine_dir: str | None = None,
         winners_ref=None,  # ray.ObjectRef of a SORTED int64 np array of winning LSNs
+        row_filters: tuple = (),  # (fn, kwargs) pairs, run BEFORE pre-reduce
     ):
         self.change_schema = change_schema
         self.watermark = watermark
         self.num_partitions = num_partitions
         self.quarantine_dir = quarantine_dir
         self.winners_ref = winners_ref
+        # Row-dropping ingest steps are hoisted HERE, between
+        # validation and the per-batch latest-per-key pre-reduce:
+        # every event then passes/fails the filter independently, so
+        # the committed state ("filter the event stream, then apply
+        # latest-per-key of the survivors") is batch-layout-invariant
+        # — downstream of a pre-reduce, a filtered winner's older
+        # same-batch events would already be gone while other-batch
+        # ones survived.
+        self.row_filters = row_filters
         self._q_opened = False
 
     def _quarantine(self, bad: pa.Table) -> None:
@@ -99,6 +109,17 @@ class ValidatePartitionStage:
         batch = add_hash_partition_column(
             batch, "doc_id", self.num_partitions, hash_col="doc_hash"
         )
+        # Row-dropping ingest steps (see __init__): content curation
+        # applies to content-bearing events only — tombstones pass
+        # through (a delete is not subject to quality thresholds).
+        for fn, kw in self.row_filters:
+            if len(batch) == 0:
+                break
+            is_del = pc.fill_null(pc.equal(batch["op"], "D"), False)
+            dels = batch.filter(is_del)
+            rest = batch.filter(pc.invert(is_del))
+            rest = fn(rest, **kw) if kw else fn(rest)
+            batch = pa.concat_tables([dels, rest]) if len(dels) else rest
         return latest_per_key(batch, key="doc_id", order_col="lsn", hash_col="doc_hash")
 
 

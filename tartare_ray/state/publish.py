@@ -37,7 +37,12 @@ def publish_snapshot(table_root: str, dest_root: str) -> Manifest:
     for pl in m.partitions:
         src = os.path.join(table_root, pl.file)
         dst = os.path.join(dest_root, pl.file)
-        if os.path.exists(dst) and os.path.getsize(dst) == os.path.getsize(src):
+        # Skip only when dst IS src (same inode — a prior hard-link
+        # publish).  A mere name+size match is not proof of identity:
+        # publishing a rebuilt table over an old destination must
+        # replace the bytes, so anything else re-links/copies via
+        # tmp+rename (cheap, and readers never see a partial file).
+        if os.path.exists(dst) and os.path.samestat(os.stat(dst), os.stat(src)):
             continue
         tmp = dst + ".inprogress"
         if os.path.exists(tmp):

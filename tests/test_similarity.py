@@ -76,6 +76,51 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_ivf_stored_index_prunes_read(ray_session, tmp_path):
+    """The stored-assignment index is cluster-partitioned on disk and
+    a probe reads ONLY the probed cells' directories."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from tartare_ray.stages import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 16
+    m = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m.astype(np.float64)), pa.list_(pa.float64())),
+        }
+    )
+    centroids = S.spherical_kmeans(S.l2_normalize(m), 8)
+    idx = str(tmp_path / "ivf")
+    written = S.build_ivf_index(ray.data.from_arrow(tbl), idx, centroids)
+    assert sum(written.values()) == n
+    cells_on_disk = {int(p.split("=")[1]) for p in os.listdir(idx) if p.startswith("cell=")}
+    assert cells_on_disk == set(written)
+
+    probed = np.array([1, 3])
+    paths = S.ivf_pruned_paths(idx, probed)
+    assert len(paths) <= 2 and len(paths) < len(cells_on_disk)
+    got = ray.data.read_parquet(paths).to_arrow_refs()
+    import ray as _ray
+
+    cells_read = set()
+    for ref in got:
+        t = _ray.get(ref)
+        if len(t):
+            cells_read.update(t["cell"].to_pylist())
+    assert cells_read <= {1, 3}
+    # the stored assignment matches a fresh centroid assignment
+    expect = np.argmax(S.l2_normalize(m) @ centroids.T, axis=1)
+    read_all = ray.data.read_parquet(S.ivf_pruned_paths(idx, np.arange(8))).to_pandas()
+    read_all = read_all.sort_values("vec_id").reset_index(drop=True)
+    assert (read_all["cell"].to_numpy() == expect[read_all["vec_id"].to_numpy()]).all()
+
+
 def test_frame_sample_and_byte_histogram_arithmetic(ray_session):
     """Frame sampling keeps every stride-th frame_bytes chunk; the byte
     histogram's row-sum equals the sampled payload length."""
