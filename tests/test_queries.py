@@ -107,6 +107,49 @@ def test_grouped_quantile_exact_randomized(ray_session):
             assert got.loc[k, f"p{round(q*100):02d}"] == s[r], (k, q)
 
 
+def test_grouped_quantile_rebin_bounds_pull_on_duplicates(ray_session):
+    """A 90%-duplicated value column: the duplicated value's bin holds
+    ~90% of the group, far over max_candidates — re-binning must still
+    return EXACT quantiles while every driver pull stays ≤
+    max_candidates (point-mass windows resolve with no pull at all)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tartare_ray.stages.quantile import grouped_quantile_exact
+
+    rng = np.random.default_rng(11)
+    n = 50_000
+    dup_val = 42.0
+    vals = np.where(rng.random(n) < 0.9, dup_val, rng.normal(0, 1000, n))
+    ks = rng.choice(["a", "b"], size=n)
+    tbl = pa.table({"k": ks, "v": vals})
+    qs = [0.05, 0.5, 0.95]
+    max_cand = 500
+    diag: dict = {}
+    got = grouped_quantile_exact(
+        lambda: ray.data.from_arrow(tbl).repartition(8),
+        "k",
+        "v",
+        qs,
+        bins=32,
+        max_candidates=max_cand,
+        diag=diag,
+    ).to_pandas().set_index("k")
+    for k in np.unique(ks):
+        s = np.sort(vals[ks == k])
+        for q in qs:
+            r = max(0, math.ceil(q * len(s)) - 1)
+            assert got.loc[k, f"p{round(q*100):02d}"] == s[r], (k, q)
+    assert diag["refine_rounds"] >= 1
+    assert all(c <= max_cand for c in diag["pulled"].values()), diag["pulled"]
+    # the p50 of each group IS the duplicated value — resolved as a
+    # point mass, so no (k, p50-index) pull should appear at all
+    assert all(kk[1] != 1 for kk in diag["pulled"]), diag["pulled"]
+
+
 def test_approx_count_distinct_accuracy(ray_session):
     """HLL estimate within 2% of exact per group (p=14 → ~0.8% typical),
     and invariant to block layout (register merge is associative)."""
