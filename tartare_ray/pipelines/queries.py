@@ -134,10 +134,13 @@ def hash_join(sf_dir: str) -> ray.data.Dataset:
         zero_copy_batch=True,
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    # partition count sized by the scan bytes (not raw CPU count): a
+    # small join with CPU-many aggregator actors is all startup cost
+    n_parts = _size_parts(_read(sf_dir, "orders"), cust)
     j = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_join_parts(),
+        num_partitions=n_parts,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -149,7 +152,11 @@ def join_agg(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(
-        cust, join_type="inner", num_partitions=_join_parts(), on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=_size_parts(orders, cust),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
     agg = j.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -696,7 +703,7 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
 def tokens_per_lang(sf_dir: str) -> ray.data.Dataset:
     ds = token_count(sf_dir)
     lang = _read(sf_dir, "documents", ["doc_id", "lang"])
-    j = ds.join(lang, join_type="inner", num_partitions=_join_parts(), on=("doc_id",))
+    j = ds.join(lang, join_type="inner", num_partitions=_size_parts(lang), on=("doc_id",))
     return j.groupby("lang").aggregate(
         Sum("n_words", alias_name="total_words"), Count(alias_name="n_docs")
     )

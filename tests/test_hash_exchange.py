@@ -56,6 +56,30 @@ def test_hash_exchange_replay_matches_oracle(ray_session, gen_dir, tmp_path):
     _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
 
 
+def test_hash_exchange_with_late_materialization_matches_oracle(
+    ray_session, gen_dir, tmp_path
+):
+    """The flagship bench combination (BASELINE.md): phase-1 winner
+    envelope prunes the shuffle to winners only, hash exchange moves
+    them sort-free, SplitApplier writes deltas.  Must equal the oracle
+    exactly across multi-epoch replay."""
+    log, res = gen_dir
+    eng = CdcEngine(
+        log,
+        str(tmp_path / "table"),
+        EngineConfig(
+            num_partitions=8,
+            write_mode="delta",
+            exchange="hash",
+            epoch_max_files=2,
+            late_materialization=True,
+            late_mat_max_ratio=1.01,  # force the two-phase path
+        ),
+    )
+    eng.replay()
+    _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
+
+
 def test_split_applier_same_epoch_splits_fold_by_lsn(ray_session, tmp_path):
     """The machinery a block split exercises, tested directly (Ray
     2.49's hash shuffle happens to emit one block per bucket, so a
