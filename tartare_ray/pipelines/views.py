@@ -8,12 +8,15 @@ view updates from the per-epoch change feed alone:
                    - contribution of the doc's PREVIOUS state
 
 New contributions come straight from ``changes_dataset(epoch)``.
-Previous state is pulled partition-locally: feed keys are tagged with
-their hash partition, and one task per TOUCHED partition merges that
-partition's parent chain (epoch-1 time travel) and semi-joins the feed
-keys — I/O proportional to touched partitions, never the table.  The
-delta rows (group, dcount, dsum) are tiny and fold into the view on
-the driver.
+Previous state is pulled partition-locally AND delta-directly: feed
+keys are tagged with their hash partition, and one task per TOUCHED
+partition resolves them against that partition's parent chain via
+``lookup_keys_in_chain`` — a newest-first suffix scan reading only
+(doc_id, group, sum) + envelope columns that stops once every key is
+resolved, so hot keys resolve in the newest delta file and the fat
+base is often never opened.  I/O is proportional to touched
+partitions' chain SUFFIXES, never the table.  The delta rows (group,
+dcount, dsum) are tiny and fold into the view on the driver.
 
 Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
 tartare recomputes coverage-level artifacts per export; the view is
@@ -101,20 +104,23 @@ class IncrementalAggView:
             )
 
         def per_part(g: pa.Table) -> pa.Table:
-            from ..stages.compact import read_chain
+            from ..stages.compact import lookup_keys_in_chain
 
             p = int(g["part"][0].as_py())
             deltas: dict[str, list[float]] = {}
-            # retract previous state of the touched keys (semi-join on
-            # the merged parent partition — only this partition's chain
-            # is read)
+            # retract previous state of the touched keys — delta-direct:
+            # scan this partition's chain suffix newest-first, reading
+            # ONLY (doc_id, group, sum) + envelope, stopping as soon as
+            # every touched key is resolved (hot keys resolve in the
+            # newest delta; the base file is often never opened)
             chain = parent_chains.get(p)
             if chain:
-                import pyarrow.compute as pc
-
-                parent = read_chain(table_root, chain, parent_schema)
-                hit = parent.filter(
-                    pc.is_in(parent["doc_id"], value_set=g["doc_id"].combine_chunks())
+                hit = lookup_keys_in_chain(
+                    table_root,
+                    chain,
+                    parent_schema,
+                    g["doc_id"].combine_chunks(),
+                    ["doc_id", group_col, sum_col],
                 )
                 if len(hit):
                     old = _agg_contrib(

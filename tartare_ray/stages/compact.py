@@ -85,6 +85,115 @@ def read_chain(table_root: str, chain: list[dict], snapshot_schema: pa.Schema) -
     return merge_chain(tables, snapshot_schema)
 
 
+_EPOCH_RE = None
+
+
+def _chain_entry_epoch(entry: dict) -> int:
+    """Epoch of a chain entry — from the manifest when present, else
+    parsed from the deterministic file name (``part-P-eE.parquet`` /
+    ``delta-P-eE-sHASH.parquet``)."""
+    if "epoch" in entry:
+        return int(entry["epoch"])
+    global _EPOCH_RE
+    if _EPOCH_RE is None:
+        import re
+
+        _EPOCH_RE = re.compile(r"-e(\d+)")
+    m = _EPOCH_RE.search(entry["file"])
+    if m is None:  # pre-naming-scheme file: treat as oldest
+        return -1
+    return int(m.group(1))
+
+
+def lookup_keys_in_chain(
+    table_root: str,
+    chain: list[dict],
+    snapshot_schema: pa.Schema,
+    keys: pa.Array,
+    columns: list[str],
+) -> pa.Table:
+    """Resolve the CURRENT state of ``keys`` (doc_ids) by scanning the
+    chain suffix NEWEST-first with column pruning, instead of merging
+    the whole chain (``read_chain``) and filtering.
+
+    Per key the winner is its max-LSN occurrence; epochs consume the
+    log in LSN order, so a key found in epoch E cannot be outranked by
+    any older epoch — once every key is resolved the scan STOPS, never
+    touching the base file when the keys all live in recent deltas
+    (the hot-key common case under zipf traffic).  Within ONE epoch a
+    partition may hold several split delta files (hash exchange) whose
+    LSN sets per doc are disjoint, so files of the same epoch are read
+    together and reduced by LSN before resolution.
+
+    Only ``columns`` (+ the op/lsn envelope) are read from each file —
+    the retraction path of an incremental view needs 3 columns of a
+    maybe-50-column snapshot, and parquet reads are columnar.
+
+    Returns live winner rows conformed to ``columns`` of the snapshot
+    schema; keys that are absent or whose winner is a tombstone
+    (op="D") are simply missing from the output.
+    """
+    import os
+    from collections import defaultdict
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    keys = pc.unique(keys)
+    pruned_schema = pa.schema([f for f in snapshot_schema if f.name in set(columns)])
+    if len(keys) == 0 or not chain:
+        return pruned_schema.empty_table()
+
+    by_epoch: dict[int, list[dict]] = defaultdict(list)
+    for e in chain:
+        by_epoch[_chain_entry_epoch(e)].append(e)
+
+    unresolved = keys
+    out: list[pa.Table] = []
+    for ep in sorted(by_epoch, reverse=True):
+        hits = []
+        for entry in by_epoch[ep]:
+            path = os.path.join(table_root, entry["file"])
+            avail = set(pq.read_schema(path).names)
+            want = [c for c in columns if c in avail]
+            want += [c for c in DELTA_ENVELOPE if c in avail and c not in want]
+            t = pq.read_table(path, columns=want)
+            hit = t.filter(pc.is_in(t["doc_id"], value_set=unresolved))
+            if len(hit):
+                hits.append(hit)
+        if not hits:
+            continue
+        ord_cols, bodies = [], []
+        for t in hits:
+            n = len(t)
+            op = (
+                t["op"].combine_chunks()
+                if "op" in t.schema.names
+                else pa.nulls(n, pa.string())
+            )
+            lsn = (
+                t["lsn"].combine_chunks().cast(pa.int64())
+                if "lsn" in t.schema.names
+                else pa.array(np.full(n, -1, dtype=np.int64))
+            )
+            body = conform(t, pruned_schema)
+            body = body.append_column("__op", op)
+            body = body.append_column("__ord", lsn)
+            bodies.append(body)
+        ep_all = pa.concat_tables(bodies)
+        win = latest_per_key(ep_all, key="doc_id", order_col="__ord")
+        live = win.filter(pc.fill_null(pc.not_equal(win["__op"], "D"), True))
+        if len(live):
+            out.append(live.drop_columns(["__op", "__ord"]))
+        unresolved = unresolved.filter(
+            pc.invert(pc.is_in(unresolved, value_set=win["doc_id"].combine_chunks()))
+        )
+        if len(unresolved) == 0:
+            break
+    if not out:
+        return pruned_schema.empty_table()
+    return pa.concat_tables(out)
+
+
 class PartitionMergeReader:
     """map_batches stage over partition-descriptor rows (p, files json)
     → merged live rows.  One partition per call (``batch_size=1``);
