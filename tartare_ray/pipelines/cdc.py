@@ -290,9 +290,12 @@ class CdcEngine:
         # filter semantics need full payloads in the main scan anyway
         # (the filter itself prunes the shuffle instead).
         row_filters, xform_steps = self._split_ingest_steps()
+        phases = {"plan_s": round(time.perf_counter() - t0, 3)}
         winners_ref = None
         if self.cfg.late_materialization and not row_filters:
+            tp = time.perf_counter()
             winners_ref = self._phase1_winners(chosen, watermark, cpus)
+            phases["envelope_s"] = round(time.perf_counter() - tp, 3)
         use_hash = self.cfg.exchange == "hash" and self.cfg.write_mode == "delta"
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
@@ -305,7 +308,7 @@ class CdcEngine:
             return self._run_epoch_pipeline(
                 chosen, cur, epoch, watermark, snap_schema, change_schema,
                 parent_chain, cpus, applier_conc, num_blocks, winners_ref,
-                use_hash, row_filters, xform_steps, t0,
+                use_hash, row_filters, xform_steps, t0, phases,
             )
         finally:
             ctx.shuffle_strategy = prev_strategy
@@ -331,8 +334,10 @@ class CdcEngine:
     def _run_epoch_pipeline(
         self, chosen, cur, epoch, watermark, snap_schema, change_schema,
         parent_chain, cpus, applier_conc, num_blocks, winners_ref,
-        use_hash, row_filters, xform_steps, t0,
+        use_hash, row_filters, xform_steps, t0, phases=None,
     ) -> Manifest:
+        phases = {} if phases is None else phases
+        t_pipe = time.perf_counter()
         ds = ray.data.read_parquet(
             [f.path for f in chosen],
             override_num_blocks=num_blocks,
@@ -409,6 +414,8 @@ class CdcEngine:
                 concurrency=applier_conc,
             )
         lineage_rows = lineage_ds.take_all()  # O(P) rows — small by design
+        phases["exchange_apply_s"] = round(time.perf_counter() - t_pipe, 3)
+        t_commit = time.perf_counter()
 
         touched = {int(r["p"]): r for r in lineage_rows}
         partitions: list[PartitionLineage] = [
@@ -422,6 +429,7 @@ class CdcEngine:
                 bytes=int(r["bytes"]),
                 kind=r["kind"],
                 epoch=epoch,
+                apply_ms=float(r.get("apply_ms") or 0.0),
             )
             for r in lineage_rows
         ]
@@ -443,7 +451,8 @@ class CdcEngine:
             partitions=partitions,
         )
         self._commit(m)
-        metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0)
+        phases["commit_s"] = round(time.perf_counter() - t_commit, 3)
+        metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0, phases)
         metrics["quarantined_rows"] = self._quarantine_count(epoch)
         try:
             # per-operator execution profile (read/validate/shuffle/apply

@@ -165,6 +165,9 @@ class MergeApplier:
 
     # -- entry ---------------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
+        import time
+
+        t0 = time.perf_counter()
         if len(group) == 0:
             return _lineage_table([])
         p = group["part"][0].as_py()
@@ -175,10 +178,15 @@ class MergeApplier:
             out = self._apply_delta(p, group, winners, lsn_lo, lsn_hi)
         else:
             out = self._apply_cow(p, group, winners, lsn_lo, lsn_hi)
-        return out.set_column(
+        out = out.set_column(
             out.schema.get_field_index("events_applied"),
             "events_applied",
             pa.array([len(group)], pa.int64()),
+        )
+        return out.set_column(
+            out.schema.get_field_index("apply_ms"),
+            "apply_ms",
+            pa.array([(time.perf_counter() - t0) * 1000.0], pa.float64()),
         )
 
 
@@ -231,7 +239,9 @@ class SplitApplier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
+        import time
 
+        t0 = time.perf_counter()
         if len(batch) == 0:
             return _lineage_table([])
         raw_parts, raw_counts = np.unique(
@@ -278,6 +288,10 @@ class SplitApplier:
                     "bytes": os.path.getsize(path),
                 }
             )
+        # Straggler metric (SURVEY.md §8.6): this writer TASK's wall,
+        # recorded on its first lineage row only (0 on the rest) so
+        # per-task walls can be aggregated without double counting.
+        rows[0]["apply_ms"] = (time.perf_counter() - t0) * 1000.0
         return _lineage_table(rows)
 
 
@@ -291,6 +305,10 @@ LINEAGE_SCHEMA = pa.schema(
         ("lsn_hi", pa.int64()),
         ("events_applied", pa.int64()),
         ("bytes", pa.int64()),
+        # wall of the writer task that produced this file, ms; on a
+        # multi-row lineage (SplitApplier) only the first row carries
+        # it — aggregate per-task, not per-file (metrics.py)
+        ("apply_ms", pa.float64()),
     ]
 )
 
@@ -300,4 +318,5 @@ def _lineage_table(rows: list[dict]) -> pa.Table:
         return LINEAGE_SCHEMA.empty_table()
     for r in rows:
         r.setdefault("events_applied", 0)
+        r.setdefault("apply_ms", 0.0)
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)

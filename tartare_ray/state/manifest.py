@@ -47,6 +47,10 @@ class PartitionLineage:
     # loadable.
     kind: str = "base"  # "base" | "delta"
     epoch: int = 0
+    # Wall of the writer task that produced this file (ms; straggler
+    # metric, SURVEY.md §8.6).  0.0 on all but the first file of a
+    # multi-file writer task and on pre-metric manifests.
+    apply_ms: float = 0.0
 
 
 @dataclass

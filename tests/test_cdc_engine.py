@@ -499,3 +499,30 @@ def test_late_mat_adaptive_fallback_on_low_duplication(ray_session, tmp_path):
     assert_tables_equal(
         eng.snapshot_table(), replay_oracle([str(log / "events-000000.parquet")])
     )
+
+
+def test_epoch_metrics_straggler_and_phases(ray_session, tmp_path):
+    """SURVEY.md §8.6: every committed epoch records per-writer-task
+    apply walls (straggler max/mean) and a per-phase wall breakdown."""
+    import json
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=4000, n_docs=400, events_per_file=2000)
+    )
+    for cfg in (
+        EngineConfig(num_partitions=4, write_mode="delta", exchange="hash",
+                     late_materialization=True, late_mat_max_ratio=1.01),
+        EngineConfig(num_partitions=4),
+    ):
+        root = str(tmp_path / f"table-{cfg.exchange}-{cfg.write_mode}")
+        eng = CdcEngine(os.path.dirname(res.files[0]), root, cfg)
+        eng.replay()
+        m = json.load(open(os.path.join(root, "_metrics", "e000001.json")))
+        s = m["straggler"]
+        assert s["apply_tasks"] >= 1
+        assert s["apply_ms_max"] >= s["apply_ms_mean"] > 0
+        assert s["apply_straggler_max_over_mean"] >= 1.0
+        ph = m["phases"]
+        assert ph["exchange_apply_s"] > 0 and "plan_s" in ph and "commit_s" in ph
+        if cfg.late_materialization:
+            assert "envelope_s" in ph
