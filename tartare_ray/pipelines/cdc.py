@@ -277,10 +277,15 @@ class CdcEngine:
         # blocks instead of hundreds of tiny ones (3× faster, measured).
         ray.data.DataContext.get_current().decoding_size_estimation = False
         total_bytes = sum(f.bytes_uncompressed for f in chosen)
-        # Cap at 2×CPUs: the sort shuffle materializes blocks² transfer
-        # objects, so 8×CPU block counts drown the scheduler in tiny
-        # objects (measured: 225 blocks → 0.7M ev/s, 64 blocks → 1M+).
-        num_blocks = max(cpus, min(-(-total_bytes // (64 << 20)), cpus * 2))
+        # Sort exchange: cap at 2×CPUs — the sort shuffle materializes
+        # blocks² transfer objects, so 8×CPU block counts drown the
+        # scheduler in tiny objects (measured: 225 blocks → 0.7M ev/s,
+        # 64 blocks → 1M+).  Hash exchange: no blocks² term (blocks
+        # stream through per-bucket aggregators), so 4×CPUs blocks —
+        # schema-evolution files give ~7× row-count skew per block and
+        # finer tasks amortize the stragglers across waves.
+        cap = 4 if (self.cfg.exchange == "hash" and self.cfg.write_mode == "delta") else 2
+        num_blocks = max(cpus, min(-(-total_bytes // (64 << 20)), cpus * cap))
         # Row-dropping ingest steps are hoisted into the validate
         # stage (before its pre-reduce — batch-invariant semantics,
         # see ValidatePartitionStage.row_filters) and they force late

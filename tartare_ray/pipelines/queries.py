@@ -1240,6 +1240,120 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Semi-join (SURVEY.md §2A J4): keep customers WITH a qualifying
+    order — the same broadcast key-set shape as ``anti_join`` (distinct
+    keys via ``ray.put``, sorted ``np.isin`` per batch, no shuffle of
+    the big side), mask un-negated."""
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keys = np.array(sorted(big.unique("o_custkey")), dtype=np.int64)
+    keys_ref = ray.put(keys)
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)  # node-local after first fetch
+        present = np.isin(b["c_custkey"].combine_chunks().to_numpy(), k, kind="sort")
+        return b.filter(pa.array(present))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def left_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """Left outer join with null coalescing: every customer row
+    survives; the aggregated big-order side fills (0, 0) where absent.
+    Per-group cents conversion happens BEFORE the join on both the Ray
+    and SQL sides so rounding is bit-identical."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], 450000.0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_big_orders"), Sum("o_totalprice", alias_name="rev"))
+    )
+    right = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "n_big_orders": pc.cast(b["n_big_orders"], pa.int64()),
+                "revenue_cents": pc.cast(
+                    pc.round(pc.multiply(b["rev"], 100.0), ndigits=0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = cust.join(
+        right,
+        join_type="left_outer",
+        num_partitions=_size_parts(cust),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_big_orders": pc.fill_null(pc.cast(b["n_big_orders"], pa.int64()), zero),
+                "revenue_cents": pc.fill_null(pc.cast(b["revenue_cents"], pa.int64()), zero),
+            }
+        )
+
+    return j.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def date_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Per-day event histogram: vectorized ``strftime`` day bucket in
+    map_batches, then a small groupby over O(days) groups — the
+    time-bucketed rollup every event pipeline needs."""
+    ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        lambda b: pa.table(
+            {"day": pc.strftime(b["ts"], format="%Y-%m-%d"), "value": b["value"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = ds.groupby("day").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="v")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "day": b["day"],
+                "n_events": b["n_events"],
+                "value_cents": pc.cast(
+                    pc.round(pc.multiply(b["v"], 100.0), ndigits=0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ngram_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-k corpus bigrams: per-batch partial counts (combiner — the
+    shuffle moves (bigram, n) partials, never word streams) → global
+    sum → deterministic top-k (count desc, bigram asc)."""
+    partials = _read(sf_dir, "documents", ["text"]).map_batches(
+        TX.bigram_counts_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return total.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1266,6 +1380,10 @@ QUERIES = {
     "grouped_mode": grouped_mode,
     "rolling_window": rolling_window,
     "anti_join": anti_join,
+    "semi_join": semi_join,
+    "left_outer_join": left_outer_join,
+    "date_histogram": date_histogram,
+    "ngram_topk": ngram_topk,
     "count_distinct": count_distinct,
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
@@ -1434,6 +1552,39 @@ ORACLE_SQL = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
         )
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+    """,
+    "left_outer_join": """
+        SELECT c_custkey, c_mktsegment,
+               COALESCE(b.n_big_orders, 0) AS n_big_orders,
+               COALESCE(b.revenue_cents, 0) AS revenue_cents
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_big_orders,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents
+            FROM orders WHERE o_totalprice > 450000.0 GROUP BY o_custkey
+        ) b ON c_custkey = b.o_custkey
+    """,
+    "date_histogram": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_cents
+        FROM events GROUP BY day
+    """,
+    "ngram_topk": """
+        WITH w AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+        ), b AS (
+            SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+            FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        )
+        SELECT bigram, count(*) AS n FROM b
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
     """,
     "count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -105,3 +105,38 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def bigram_counts_batch(batch: pa.Table) -> pa.Table:
+    """Partial per-batch bigram counts — the combiner half of the
+    n-gram statistics pipeline: each batch emits its own (bigram, n)
+    partials so the global shuffle moves counted bigrams, not word
+    streams (shuffle-minimization, SURVEY.md §4).  Word splitting is
+    the same whitespace convention as ``token_count`` (exact DuckDB
+    oracle); bigram join uses Arrow's vectorized
+    ``binary_join_element_wise``."""
+    words = T.word_lists(batch["text"])
+    vals, offsets = T.flat_words(words)
+    empty = pa.table(
+        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    if len(vals) < 2:
+        return empty
+    left = pa.array(vals[:-1], pa.string())
+    right = pa.array(vals[1:], pa.string())
+    joined = pc.binary_join_element_wise(left, right, " ")
+    # drop pairs that straddle a document boundary: pair i covers word
+    # positions (i, i+1); it crosses iff i+1 starts the next document
+    mask = np.ones(len(vals) - 1, dtype=bool)
+    interior = offsets[1:-1]
+    mask[interior - 1] = False
+    joined = joined.filter(pa.array(mask))
+    if len(joined) == 0:
+        return empty
+    counts = joined.value_counts()
+    return pa.table(
+        {
+            "bigram": counts.field("values"),
+            "n": pc.cast(counts.field("counts"), pa.int64()),
+        }
+    )
