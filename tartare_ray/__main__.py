@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -157,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         for pl in m.partitions:
             kinds[pl.kind] = kinds.get(pl.kind, 0) + 1
             chain_len[pl.p] = chain_len.get(pl.p, 0) + 1
-        print(json.dumps({
+        out = {
             "status": "committed",
             "epoch": m.epoch,
             "watermark_lsn": m.watermark_lsn,
@@ -167,7 +168,18 @@ def main(argv: list[str] | None = None) -> int:
             "files": kinds,
             "max_chain_len": max(chain_len.values()),  # compaction signal
             "schema_fingerprint": m.schema_fingerprint,
-        }))
+        }
+        # latest epoch's straggler + phase walls (operability signal:
+        # a rising apply_straggler ratio says salt/repartition)
+        metrics_path = os.path.join(
+            args.table_root, "_metrics", f"e{m.epoch:06d}.json"
+        )
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                em = json.load(f)
+            out["last_epoch_straggler"] = em.get("straggler")
+            out["last_epoch_phases"] = em.get("phases")
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "publish":

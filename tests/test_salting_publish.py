@@ -181,6 +181,9 @@ def test_cli_gen_detect_replay_publish(tmp_path):
     out = cli("status", "--table-root", table)
     assert out["status"] == "committed" and out["watermark_lsn"] == 2999
     assert out["files"] == {"base": out["partitions"]}
+    # straggler + phase walls from the last epoch's metrics (§8.6)
+    assert out["last_epoch_straggler"]["apply_tasks"] >= 1
+    assert out["last_epoch_phases"]["exchange_apply_s"] > 0
 
 
 def test_cli_tail_follows_appends(tmp_path, ray_session):
