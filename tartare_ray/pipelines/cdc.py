@@ -111,6 +111,18 @@ class EngineConfig:
     # (ray.put) — bounded because epochs are bounded.
     late_materialization: bool = False
     late_mat_max_ratio: float = 0.7
+    # Epoch pipelining: while epoch E's exchange+apply executes, a
+    # background thread already runs epoch E+1's envelope scan (the
+    # next epoch's file set and watermark are deterministic from E's
+    # plan, so the winner set can be computed early).  The envelope
+    # DATASET is created on the main thread under the default sort
+    # strategy — its physical plan (read → map → sort → map) is
+    # shuffle-strategy independent, so executing it concurrently with
+    # the hash exchange is safe; Ray schedules both under one CPU
+    # budget.  On a prefetch miss (tail mode grew the file set, crash
+    # changed the watermark, thread error) the epoch recomputes
+    # inline — the prefetch is purely an overlap optimization.
+    prefetch_envelope: bool = True
     # Ingest transform chain (tartare's contributor preprocesses, run
     # during export): registered step names applied to the validated
     # change stream BEFORE the partition exchange, in declared order.
@@ -155,6 +167,7 @@ class CdcEngine:
         self.log_dir = log_dir
         self.table_root = table_root
         self.cfg = cfg or EngineConfig()
+        self._prefetch = None  # epoch-pipelined envelope (box dict)
 
     # -- schema planning (driver-side, metadata only) ----------------------
     def _epoch_schemas(
@@ -172,13 +185,14 @@ class CdcEngine:
         change = pa.schema(envelope + list(snap))
         return snap, change
 
-    def _phase1_winners(self, chosen: list[LogFile], watermark: int, cpus: int):
-        """Late-materialization phase 1: envelope-only scan → winning
-        LSN set.  Returns a ``ray.put`` ref of the sorted int64 array,
-        or None when the winner ratio is too high to pay for a second
-        read (adaptive fallback)."""
-        import numpy as np
-
+    def _phase1_dataset(self, chosen: list[LogFile], watermark: int, cpus: int):
+        """Late-materialization phase-1 DATASET (lazy): envelope-only
+        scan → per-block pre-reduce → sort-based level-2 reduce.
+        Created on the caller's thread so the logical plan is fixed
+        under the default (sort) shuffle strategy — its physical ops
+        are strategy-independent at execution, which is what makes the
+        epoch-pipelined prefetch (consume on a thread while the hash
+        exchange runs) safe."""
         from ..stages.kernels import latest_per_key
         from ..stages.validate import EnvelopeWinnerStage
 
@@ -197,10 +211,17 @@ class CdcEngine:
         # 8.0 s / 10.0 vs 18.6 s at 24M events) — the envelope rows
         # are small, so aggregator-actor startup dominates the hash
         # variant while the 64-value part sort is nearly free.
-        final = env.groupby("part").map_groups(
+        return env.groupby("part").map_groups(
             lambda g: latest_per_key(g, "doc_id", "lsn", hash_col="doc_hash"),
             batch_format="pyarrow",
         )
+
+    def _phase1_consume(self, final, chosen: list[LogFile]):
+        """Execute the phase-1 dataset → sorted winner-LSN ray.put ref,
+        or None when the winner ratio is too high to pay for a second
+        read (adaptive fallback)."""
+        import numpy as np
+
         parts = [
             b["lsn"].combine_chunks().to_numpy(zero_copy_only=False)
             for b in final.select_columns(["lsn"]).iter_batches(
@@ -212,6 +233,62 @@ class CdcEngine:
         if total == 0 or len(lsns) / total > self.cfg.late_mat_max_ratio:
             return None  # low duplication: a second full read buys nothing
         return ray.put(lsns)
+
+    def _phase1_winners(self, chosen: list[LogFile], watermark: int, cpus: int):
+        """Late-materialization phase 1, inline (non-prefetched) path."""
+        return self._phase1_consume(self._phase1_dataset(chosen, watermark, cpus), chosen)
+
+    # -- epoch-pipelined envelope prefetch ----------------------------------
+    @staticmethod
+    def _prefetch_key(chosen: list[LogFile], watermark: int) -> tuple:
+        return (tuple(sorted(f.path for f in chosen)), watermark)
+
+    def _spawn_prefetch(self, cur_chosen: list[LogFile], cpus: int) -> None:
+        """Plan epoch E+1 from E's deterministic outcome (watermark =
+        max LSN of E's chosen files) and start computing its winner set
+        on a background thread, overlapping E's exchange+apply.  Reads
+        log files only — no engine state is touched."""
+        import threading
+
+        next_watermark = max(f.max_lsn for f in cur_chosen)
+        try:
+            pending = pending_files(self.log_dir, next_watermark)
+            max_bytes = self._epoch_max_bytes()
+            next_chosen = plan_epoch(
+                pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events, max_bytes
+            )
+        except Exception:
+            return
+        if not next_chosen:
+            return
+        ds = self._phase1_dataset(next_chosen, next_watermark, cpus)
+        box: dict = {"key": self._prefetch_key(next_chosen, next_watermark)}
+
+        def run():
+            try:
+                box["result"] = self._phase1_consume(ds, next_chosen)
+            except BaseException as e:  # any failure → prefetch miss
+                box["error"] = e
+
+        t = threading.Thread(target=run, name="envelope-prefetch", daemon=True)
+        box["thread"] = t
+        t.start()
+        self._prefetch = box
+
+    def _take_prefetched(self, chosen: list[LogFile], watermark: int):
+        """(hit, winners_ref_or_None).  A hit requires the prefetched
+        plan to match this epoch's actual (file set, watermark) —
+        anything else (new files arrived in tail mode, crash changed
+        the watermark, thread error) is a miss and the caller
+        recomputes inline."""
+        box = getattr(self, "_prefetch", None)
+        self._prefetch = None
+        if not box or box["key"] != self._prefetch_key(chosen, watermark):
+            return False, None
+        box["thread"].join()
+        if "error" in box:
+            return False, None
+        return True, box["result"]
 
     # -- one epoch ---------------------------------------------------------
     def run_epoch(self) -> Manifest | None:
@@ -225,12 +302,7 @@ class CdcEngine:
         with WriterLock(self.table_root):
             return self._run_epoch_locked()
 
-    def _run_epoch_locked(self) -> Manifest | None:
-        t0 = time.perf_counter()
-        gc_orphans(self.table_root)
-        cur = load_current(self.table_root)
-        watermark = cur.watermark_lsn if cur is not None else -1
-        pending = pending_files(self.log_dir, watermark)
+    def _epoch_max_bytes(self) -> int | None:
         max_bytes = self.cfg.epoch_max_bytes
         if max_bytes is None:
             store = ray.cluster_resources().get("object_store_memory")
@@ -244,6 +316,15 @@ class CdcEngine:
                 self.cfg.exchange == "hash" and self.cfg.write_mode == "delta"
             ) else 20
             max_bytes = int(store // divisor) if store else None
+        return max_bytes
+
+    def _run_epoch_locked(self) -> Manifest | None:
+        t0 = time.perf_counter()
+        gc_orphans(self.table_root)
+        cur = load_current(self.table_root)
+        watermark = cur.watermark_lsn if cur is not None else -1
+        pending = pending_files(self.log_dir, watermark)
+        max_bytes = self._epoch_max_bytes()
         chosen = plan_epoch(
             pending, self.cfg.epoch_max_files, self.cfg.epoch_max_events, max_bytes
         )
@@ -299,8 +380,20 @@ class CdcEngine:
         winners_ref = None
         if self.cfg.late_materialization and not row_filters:
             tp = time.perf_counter()
-            winners_ref = self._phase1_winners(chosen, watermark, cpus)
+            hit, winners_ref = self._take_prefetched(chosen, watermark)
+            if not hit:
+                winners_ref = self._phase1_winners(chosen, watermark, cpus)
             phases["envelope_s"] = round(time.perf_counter() - tp, 3)
+            phases["envelope_prefetched"] = hit
+            if self.cfg.prefetch_envelope:
+                # Epoch pipelining: start epoch E+1's envelope scan on
+                # a background thread NOW — it overlaps this epoch's
+                # exchange+apply.  Created here, while the global
+                # shuffle strategy is still the default, so its plan is
+                # the strategy-independent sort path (see
+                # _phase1_dataset); executing it during the hash window
+                # below is then safe.
+                self._spawn_prefetch(chosen, cpus)
         use_hash = self.cfg.exchange == "hash" and self.cfg.write_mode == "delta"
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy

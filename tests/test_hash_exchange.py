@@ -250,3 +250,75 @@ def test_hash_exchange_idempotent_rereplay(ray_session, gen_dir, tmp_path):
     m2 = eng.run_epoch()
     assert m2 is None  # log exhausted
     _assert_table_equals(eng.snapshot_table(), snap1)
+
+
+def test_envelope_prefetch_hits_and_matches_oracle(ray_session, gen_dir, tmp_path):
+    """Epoch pipelining: with prefetch_envelope on (default), epochs
+    after the first consume the background-computed winner set
+    (phases.envelope_prefetched true) and the final table still equals
+    the oracle exactly."""
+    import json
+    import os
+
+    log, res = gen_dir
+    eng = CdcEngine(
+        log,
+        str(tmp_path / "table"),
+        EngineConfig(
+            num_partitions=8,
+            write_mode="delta",
+            exchange="hash",
+            epoch_max_files=2,
+            late_materialization=True,
+            late_mat_max_ratio=1.01,
+        ),
+    )
+    m = eng.replay()
+    assert m.epoch >= 2
+    _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
+    flags = []
+    for e in range(1, m.epoch + 1):
+        p = os.path.join(str(tmp_path / "table"), "_metrics", f"e{e:06d}.json")
+        flags.append(json.load(open(p))["phases"].get("envelope_prefetched"))
+    assert flags[0] is False  # nothing to prefetch before epoch 1
+    assert all(flags[1:]), flags  # every later epoch hit the prefetch
+
+
+def test_envelope_prefetch_miss_on_grown_log(ray_session, tmp_path):
+    """Tail mode: files arriving AFTER epoch E's prefetch was planned
+    change epoch E+1's file set — the stale prefetch must be discarded
+    (miss) and the epoch recomputed inline, still matching the oracle."""
+    import json
+    import os
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging, GenConfig(n_events=4000, n_docs=300, events_per_file=1000)
+    )
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    shutil.copy(res.files[0], live)
+    shutil.copy(res.files[1], live)
+    eng = CdcEngine(
+        live,
+        str(tmp_path / "table"),
+        EngineConfig(
+            num_partitions=4,
+            write_mode="delta",
+            exchange="hash",
+            epoch_max_files=2,
+            late_materialization=True,
+            late_mat_max_ratio=1.01,
+        ),
+    )
+    eng.run_epoch()  # epoch 1 over files 0-1; prefetch planned = EMPTY rest
+    # two more files arrive — epoch 2's real plan differs from anything
+    # the prefetch could have seen
+    shutil.copy(res.files[2], live)
+    shutil.copy(res.files[3], live)
+    m = eng.run_epoch()
+    assert m is not None and m.epoch == 2
+    p = os.path.join(str(tmp_path / "table"), "_metrics", "e000002.json")
+    assert json.load(open(p))["phases"]["envelope_prefetched"] is False
+    _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
