@@ -322,3 +322,61 @@ def test_envelope_prefetch_miss_on_grown_log(ray_session, tmp_path):
     p = os.path.join(str(tmp_path / "table"), "_metrics", "e000002.json")
     assert json.load(open(p))["phases"]["envelope_prefetched"] is False
     _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
+
+
+def test_hash_path_crash_before_commit_is_exactly_once(ray_session, gen_dir, tmp_path):
+    """Flagship-config variant of the two-phase crash test: kill after
+    the SplitApplier wrote its split delta files but before the
+    manifest/CURRENT swap.  Re-run must converge to the oracle, any
+    orphaned split files from the crashed attempt must never be
+    referenced by a committed manifest, and gc_epochs must reclaim
+    them."""
+    import pytest
+
+    from tartare_ray.state.manifest import gc_epochs, load_current, load_epoch
+
+    log, res = gen_dir
+    root = str(tmp_path / "table")
+    cfg = EngineConfig(
+        num_partitions=8,
+        write_mode="delta",
+        exchange="hash",
+        epoch_max_files=2,
+        late_materialization=True,
+        late_mat_max_ratio=1.01,
+    )
+
+    class CrashingEngine(CdcEngine):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.crashed = False
+
+        def _commit(self, m):
+            if m.epoch == 2 and not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before CURRENT swap")
+            super()._commit(m)
+
+    eng = CrashingEngine(log, root, cfg)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.replay()
+    assert load_current(root).epoch == 1
+    on_disk_after_crash = set(os.listdir(os.path.join(root, "data")))
+
+    final = CdcEngine(log, root, cfg).replay()
+    _assert_table_equals(CdcEngine(log, root, cfg).snapshot_table(), replay_oracle(res.files))
+
+    referenced = set()
+    for e in range(1, final.epoch + 1):
+        m = load_epoch(root, e)
+        if m is not None:
+            referenced |= {os.path.basename(pl.file) for pl in m.partitions}
+    orphans = {
+        f for f in on_disk_after_crash if f.endswith(".parquet") and f not in referenced
+    }
+    # whether retry block-splitting reproduced the same names or not,
+    # nothing unreferenced may survive a gc pass
+    gc_epochs(root, keep_last=final.epoch)
+    left = set(os.listdir(os.path.join(root, "data")))
+    assert not (orphans & left), orphans & left
+    _assert_table_equals(CdcEngine(log, root, cfg).snapshot_table(), replay_oracle(res.files))
