@@ -1032,3 +1032,50 @@ class CdcEngine:
         if not tables:
             return m.schema.empty_table()
         return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+    def lookup(
+        self,
+        doc_ids: list[str],
+        epoch: int | None = None,
+        columns: list[str] | None = None,
+    ) -> pa.Table:
+        """Point reads of committed state: each doc_id hashes to its
+        partition, and only the TOUCHED partitions' chains are scanned
+        — newest-delta-first with column pruning and early stop
+        (``lookup_keys_in_chain``), so a hot key resolves from the top
+        of its LSM chain without opening the base file.  I/O is
+        O(touched partitions' chain suffixes), never the table.
+        Deleted / never-written ids are absent from the result.
+        ``epoch`` time-travels to any un-GC'd committed epoch."""
+        from collections import defaultdict
+
+        from ..stages.compact import lookup_keys_in_chain
+        from ..stages.kernels import hash_partition_ids
+
+        m = self._manifest_at(epoch)
+        schema = m.schema if m is not None else self.cfg.initial_schema
+        cols = list(columns) if columns is not None else list(schema.names)
+        if "doc_id" not in cols:
+            cols = ["doc_id", *cols]
+        pruned = pa.schema([f for f in schema if f.name in set(cols)])
+        if m is None or not doc_ids:
+            return pruned.empty_table()
+        ids = pa.array(sorted(set(doc_ids)), pa.string())
+        parts = hash_partition_ids(ids, self.cfg.num_partitions)
+        by_part: dict[int, list[int]] = defaultdict(list)
+        for i, p in enumerate(parts.tolist()):
+            by_part[p].append(i)
+        chains = self._chains(m)
+        out = []
+        for p, idxs in sorted(by_part.items()):
+            chain = chains.get(p)
+            if not chain:
+                continue
+            hit = lookup_keys_in_chain(
+                self.table_root, chain, schema, ids.take(idxs), cols
+            )
+            if len(hit):
+                out.append(hit)
+        if not out:
+            return pruned.empty_table()
+        return pa.concat_tables(out).sort_by([("doc_id", "ascending")])

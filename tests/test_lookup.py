@@ -1,0 +1,68 @@
+"""CdcEngine.lookup — point reads of committed state via partition-
+pruned, chain-suffix scans (newest delta first, early stop)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+
+from tartare_ray.gen import GenConfig, generate_log
+from tartare_ray.oracle import replay_oracle
+from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+
+
+def _oracle_rows(files, ids, cols):
+    t = replay_oracle(files)
+    hit = t.filter(pc.is_in(t["doc_id"], value_set=__import__("pyarrow").array(ids)))
+    return hit.select(cols).sort_by("doc_id").to_pylist()
+
+
+def test_lookup_matches_oracle_across_modes(ray_session, tmp_path):
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=8000, n_docs=600, events_per_file=2000, widen_frac=0.5, add_col_frac=0.5),
+    )
+    log = os.path.dirname(res.files[0])
+    for name, cfg in (
+        ("delta", EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=2)),
+        ("hash", EngineConfig(num_partitions=4, write_mode="delta", exchange="hash",
+                              epoch_max_files=2, late_materialization=True)),
+        ("cow", EngineConfig(num_partitions=4, epoch_max_files=2)),
+    ):
+        eng = CdcEngine(log, str(tmp_path / f"t-{name}"), cfg)
+        eng.replay()
+        snap = eng.snapshot_table()
+        live = snap["doc_id"].to_pylist()
+        probe = live[:5] + live[-5:] + ["no-such-doc"]
+        got = eng.lookup(probe)
+        assert got.schema.names == snap.schema.names
+        want = _oracle_rows(res.files, probe, got.schema.names)
+        assert got.sort_by("doc_id").to_pylist() == want
+        # column pruning + implicit doc_id
+        got2 = eng.lookup(probe, columns=["n_tok"])
+        assert got2.schema.names == ["doc_id", "n_tok"]
+        assert len(got2) == len(got)
+
+
+def test_lookup_time_travel_and_deletes(ray_session, tmp_path):
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=6000, n_docs=400, events_per_file=2000)
+    )
+    log = os.path.dirname(res.files[0])
+    eng = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1))
+    eng.replay()
+    e1 = eng.snapshot_table(epoch=1)
+    final = eng.snapshot_table()
+    e1_ids, final_ids = set(e1["doc_id"].to_pylist()), set(final["doc_id"].to_pylist())
+    # a doc deleted after epoch 1: visible at epoch=1, absent at HEAD
+    gone = sorted(e1_ids - final_ids)
+    if gone:
+        probe = gone[:3]
+        assert len(eng.lookup(probe, epoch=1)) == len(probe)
+        assert len(eng.lookup(probe)) == 0
+    # values at epoch 1 equal that epoch's snapshot, not HEAD's
+    some = sorted(e1_ids)[:8]
+    got = eng.lookup(some, epoch=1)
+    want = e1.filter(pc.is_in(e1["doc_id"], value_set=__import__("pyarrow").array(some)))
+    assert got.sort_by("doc_id").to_pylist() == want.select(got.schema.names).sort_by("doc_id").to_pylist()
