@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "grouped_quantile",
     "sessionize",
     "token_count",
+    "ngram_topk",
+    "left_outer_join",
     "exact_dedup",
     "minhash_lsh_dedup",
     "embedding_dedup",

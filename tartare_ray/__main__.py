@@ -94,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("status", help="committed state: epoch, watermark, partitions, bytes")
     sp.add_argument("--table-root", required=True)
 
+    sp = sub.add_parser("lookup", help="point-read current state of doc ids (partition-pruned chain-suffix scan)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--doc-id", action="append", required=True, help="repeatable")
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--num-partitions", type=int, default=64)
+    sp.add_argument("--columns", default=None, help="comma-separated projection")
+
     sp = sub.add_parser("pipeline", help="run a JSON-configured chain of named steps over parquet")
     sp.add_argument("--input", required=True, help="parquet file/dir")
     sp.add_argument("--output", required=True, help="output parquet dir")
@@ -180,6 +187,18 @@ def main(argv: list[str] | None = None) -> int:
             out["last_epoch_straggler"] = em.get("straggler")
             out["last_epoch_phases"] = em.get("phases")
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "lookup":
+        from .pipelines.cdc import CdcEngine, EngineConfig
+
+        eng = CdcEngine(
+            "/nonexistent-log", args.table_root,
+            EngineConfig(num_partitions=args.num_partitions),
+        )
+        cols = args.columns.split(",") if args.columns else None
+        t = eng.lookup(args.doc_id, epoch=args.epoch, columns=cols)
+        print(json.dumps({"rows": t.to_pylist()}, default=str))
         return 0
 
     if args.cmd == "publish":

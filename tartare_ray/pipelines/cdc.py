@@ -547,6 +547,7 @@ class CdcEngine:
             schema_b64=Manifest.encode_schema(snap_schema),
             schema_fingerprint=schema_fingerprint(snap_schema),
             partitions=partitions,
+            num_partitions=self.cfg.num_partitions,
         )
         self._commit(m)
         phases["commit_s"] = round(time.perf_counter() - t_commit, 3)
@@ -945,6 +946,7 @@ class CdcEngine:
                 schema_b64=cur.schema_b64,
                 schema_fingerprint=cur.schema_fingerprint,
                 partitions=partitions,
+                num_partitions=cur.num_partitions or self.cfg.num_partitions,
             )
             self._commit(m)
             return m
@@ -1009,6 +1011,7 @@ class CdcEngine:
             schema_b64=cur.schema_b64,
             schema_fingerprint=cur.schema_fingerprint,
             partitions=partitions,
+            num_partitions=cur.num_partitions or self.cfg.num_partitions,
         )
         self._commit(m)
         return m
@@ -1061,7 +1064,11 @@ class CdcEngine:
         if m is None or not doc_ids:
             return pruned.empty_table()
         ids = pa.array(sorted(set(doc_ids)), pa.string())
-        parts = hash_partition_ids(ids, self.cfg.num_partitions)
+        # key->part mapping comes from the MANIFEST (the count the table
+        # was built with), so lookups are correct regardless of the
+        # reader's configured value; pre-field manifests fall back.
+        num_parts = m.num_partitions or self.cfg.num_partitions
+        parts = hash_partition_ids(ids, num_parts)
         by_part: dict[int, list[int]] = defaultdict(list)
         for i, p in enumerate(parts.tolist()):
             by_part[p].append(i)

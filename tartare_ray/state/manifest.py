@@ -61,6 +61,10 @@ class Manifest:
     schema_b64: str  # serialized pa.Schema of the snapshot
     schema_fingerprint: str
     partitions: list[PartitionLineage] = field(default_factory=list)
+    # The hash-partition count the table was BUILT with — the key→part
+    # mapping readers must use (lookup, views).  0 on pre-field
+    # manifests (readers then fall back to their configured value).
+    num_partitions: int = 0
 
     @property
     def schema(self) -> pa.Schema:

@@ -66,3 +66,42 @@ def test_lookup_time_travel_and_deletes(ray_session, tmp_path):
     got = eng.lookup(some, epoch=1)
     want = e1.filter(pc.is_in(e1["doc_id"], value_set=__import__("pyarrow").array(some)))
     assert got.sort_by("doc_id").to_pylist() == want.select(got.schema.names).sort_by("doc_id").to_pylist()
+
+
+def test_lookup_uses_manifest_partition_count(ray_session, tmp_path):
+    """The key→partition mapping comes from the manifest, so a reader
+    configured with the WRONG num_partitions still resolves correctly
+    (and the lookup CLI needs no matching flag)."""
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=3000, n_docs=200, events_per_file=1000)
+    )
+    log = os.path.dirname(res.files[0])
+    eng = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=4, write_mode="delta"))
+    eng.replay()
+    ids = eng.snapshot_table()["doc_id"].to_pylist()[:10]
+    misconfigured = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=64))
+    assert len(misconfigured.lookup(ids)) == len(ids)
+
+
+def test_lookup_cli(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=2000, n_docs=150, events_per_file=1000)
+    )
+    log = os.path.dirname(res.files[0])
+    table = str(tmp_path / "t")
+    eng = CdcEngine(log, table, EngineConfig(num_partitions=4))
+    eng.replay()
+    doc = eng.snapshot_table()["doc_id"].to_pylist()[0]
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "tartare_ray", "lookup", "--table-root", table,
+         "--doc-id", doc, "--doc-id", "no-such-doc", "--columns", "n_tok"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    assert len(rows) == 1 and rows[0]["doc_id"] == doc and "n_tok" in rows[0]
