@@ -1354,6 +1354,101 @@ def ngram_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     return total.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def lead_lag(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-event gap statistics — the LAG() OVER analogue
+    without a global sort: events hash-partition by user, each
+    (bounded) timeline sorts once and diffs vectorized (np.diff)."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        gaps = np.diff(ts)
+        has = len(gaps) > 0
+        return pa.table(
+            {
+                "user_id": t["user_id"].slice(0, 1),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "max_gap_us": pa.array([int(gaps.max()) if has else None], pa.int64()),
+                "sum_gap_us": pa.array([int(gaps.sum()) if has else None], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer running order total (cumulative-sum window):
+    hash-partition by customer, sort only the small per-customer
+    slice, np.cumsum on integer cents — exact integers, no global
+    sort, group state bounded by one customer's history."""
+
+    def per_cust(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0), ndigits=0), pa.int64()
+        )
+        run = np.cumsum(cents.combine_chunks().to_numpy())
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "running_cents": pa.array(run, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pyarrow")
+
+
+def pivot_status(sf_dir: str) -> ray.data.Dataset:
+    """Conditional pivot (CASE-WHEN aggregation): per-batch pyarrow
+    group_by pre-reduces to O(priorities × statuses) partials, the
+    shuffle moves only those, and the tiny final result pivots one
+    row per priority with a (count, cents) column pair per status."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderstatus": b["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "o_orderstatus": g["o_orderstatus"],
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+        Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+    )
+
+    def pivot(g: pa.Table) -> pa.Table:
+        # O(statuses) per priority — the input here is already tiny.
+        n_by = dict(zip(g["o_orderstatus"].to_pylist(), g["n"].to_pylist()))
+        c_by = dict(zip(g["o_orderstatus"].to_pylist(), g["cents"].to_pylist()))
+        out: dict[str, pa.Array] = {"o_orderpriority": g["o_orderpriority"].slice(0, 1)}
+        for s in ("o", "f", "p"):
+            out[f"n_{s}"] = pa.array([int(n_by.get(s.upper(), 0))], pa.int64())
+            out[f"cents_{s}"] = pa.array([int(c_by.get(s.upper(), 0))], pa.int64())
+        return pa.table(out)
+
+    return agg.groupby("o_orderpriority").map_groups(pivot, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -1384,6 +1479,9 @@ QUERIES = {
     "left_outer_join": left_outer_join,
     "date_histogram": date_histogram,
     "ngram_topk": ngram_topk,
+    "lead_lag": lead_lag,
+    "running_total": running_total,
+    "pivot_status": pivot_status,
     "count_distinct": count_distinct,
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
@@ -1585,6 +1683,39 @@ ORACLE_SQL = {
         )
         SELECT bigram, count(*) AS n FROM b
         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "lead_lag": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT user_id, count(gap_us) AS n_gaps,
+               max(gap_us) AS max_gap_us,
+               CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        FROM g GROUP BY user_id
+    """,
+    "running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_cents
+        FROM orders
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS cents_p
+        FROM orders GROUP BY o_orderpriority
     """,
     "count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
