@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-partitions", type=int, default=64)
     sp.add_argument("--columns", default=None, help="comma-separated projection")
 
+    sp = sub.add_parser("repartition", help="online partition-count migration (re-hash to fresh bases, same watermark)")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--num-partitions", type=int, required=True)
+
     sp = sub.add_parser("pipeline", help="run a JSON-configured chain of named steps over parquet")
     sp.add_argument("--input", required=True, help="parquet file/dir")
     sp.add_argument("--output", required=True, help="output parquet dir")
@@ -199,6 +203,25 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         t = eng.lookup(args.doc_id, epoch=args.epoch, columns=cols)
         print(json.dumps({"rows": t.to_pylist()}, default=str))
+        return 0
+
+    if args.cmd == "repartition":
+        from .pipelines.cdc import CdcEngine, EngineConfig
+
+        eng = CdcEngine("/nonexistent-log", args.table_root, EngineConfig())
+        m = eng.repartition_table(args.num_partitions)
+        out = (
+            {"repartitioned": False}
+            if m is None
+            else {
+                "repartitioned": True,
+                "epoch": m.epoch,
+                "num_partitions": m.num_partitions,
+                "partitions": len(m.partitions),
+                "rows": sum(pl.rows for pl in m.partitions),
+            }
+        )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "publish":

@@ -322,6 +322,15 @@ class CdcEngine:
         t0 = time.perf_counter()
         gc_orphans(self.table_root)
         cur = load_current(self.table_root)
+        if cur is not None and cur.num_partitions and (
+            cur.num_partitions != self.cfg.num_partitions
+        ):
+            # The partition count is a TABLE property (the committed
+            # key→part mapping), not an engine property: adopt the
+            # manifest's value so a misconfigured restart or a
+            # repartition_table() migration can never pair events with
+            # the wrong parent chains.
+            self.cfg.num_partitions = cur.num_partitions
         watermark = cur.watermark_lsn if cur is not None else -1
         pending = pending_files(self.log_dir, watermark)
         max_bytes = self._epoch_max_bytes()
@@ -1015,6 +1024,85 @@ class CdcEngine:
         )
         self._commit(m)
         return m
+
+    def repartition_table(self, new_num_partitions: int) -> Manifest | None:
+        """Online partition-count migration — the 100 TB operational
+        path: the P chosen at table creation stops fitting as the
+        table grows (fat partitions → straggling appliers) or shrinks
+        (tiny files).  Streams the live snapshot (delete tombstones
+        already resolved), re-hashes doc_id to ``new_num_partitions``
+        (vectorized map_batches), and writes one fresh sorted BASE per
+        new partition via the engine's exchange, committing a new
+        epoch at the SAME watermark.  The manifest records the new
+        count and both readers (lookup/views) and subsequent epochs
+        adopt it from the manifest, so the key→part mapping flips
+        atomically with the commit — an engine still configured with
+        the old count keeps working.  Each live row moves exactly
+        once; the driver holds only O(P) lineage rows.  No-op (None)
+        on an empty table or when the count is unchanged."""
+        from ..state.lock import WriterLock
+        from ..stages.compact import PartitionRewriter
+        from ..stages.kernels import add_hash_partition_column
+
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        with WriterLock(self.table_root):
+            cur = load_current(self.table_root)
+            if cur is None:
+                return None
+            old = cur.num_partitions or self.cfg.num_partitions
+            if old == new_num_partitions:
+                return None
+            epoch = cur.epoch + 1
+            lsn_lo = min((pl.lsn_lo for pl in cur.partitions), default=0)
+            ds = self.snapshot_dataset().map_batches(
+                lambda b: add_hash_partition_column(
+                    b, "doc_id", new_num_partitions, hash_col="doc_hash"
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lineage_rows = (
+                ds.groupby("part")
+                .map_groups(
+                    PartitionRewriter,
+                    fn_constructor_kwargs=dict(
+                        table_root=self.table_root,
+                        schema_b64=cur.schema_b64,
+                        epoch=epoch,
+                        compression=self.cfg.compression,
+                    ),
+                    batch_format="pyarrow",
+                    concurrency=max(1, int(ray.cluster_resources().get("CPU", 4)) // 2),
+                )
+                .take_all()  # O(new P) rows — small by design
+            )
+            partitions = [
+                PartitionLineage(
+                    p=int(r["p"]),
+                    file=r["file"],
+                    rows=int(r["rows"]),
+                    lsn_lo=lsn_lo,
+                    lsn_hi=cur.watermark_lsn,
+                    events_applied=0,
+                    bytes=int(r["bytes"]),
+                    kind="base",
+                    epoch=epoch,
+                )
+                for r in lineage_rows
+            ]
+            partitions.sort(key=lambda pl: (pl.p, pl.epoch))
+            m = Manifest(
+                epoch=epoch,
+                parent_epoch=cur.epoch,
+                watermark_lsn=cur.watermark_lsn,
+                schema_b64=cur.schema_b64,
+                schema_fingerprint=cur.schema_fingerprint,
+                partitions=partitions,
+                num_partitions=new_num_partitions,
+            )
+            self._commit(m)
+            return m
 
     def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Whole snapshot as one Arrow table, sorted by doc_id — tests

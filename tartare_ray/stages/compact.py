@@ -259,6 +259,58 @@ class PartitionCompactor:
         return pa.Table.from_pylist(rows)
 
 
+class PartitionRewriter:
+    """map_groups stage for ``CdcEngine.repartition_table``: one group
+    = one NEW partition's live rows (already re-hashed to the new
+    count, carrying ``part`` + ``doc_hash``), written as a fresh base
+    in the house (doc_hash, doc_id) order.  Deterministic name +
+    tmp/rename → a retried group task rewrites identical bytes
+    (exactly-once)."""
+
+    def __init__(self, table_root: str, schema_b64: str, epoch: int, compression: str = "zstd"):
+        self.table_root = table_root
+        self.schema = pa.ipc.read_schema(
+            pa.py_buffer(__import__("base64").b64decode(schema_b64))
+        )
+        self.epoch = epoch
+        self.compression = compression
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import os
+
+        if len(group) == 0:
+            return pa.table(
+                {
+                    "p": pa.array([], pa.int64()),
+                    "file": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "bytes": pa.array([], pa.int64()),
+                }
+            )
+        p = int(group["part"][0].as_py())
+        body = group.sort_by(
+            [("doc_hash", "ascending"), ("doc_id", "ascending")]
+        ).drop_columns(["doc_hash", "part"])
+        body = conform(body, self.schema)
+        fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
+        path = os.path.join(self.table_root, "data", fname)
+        tmp = path + ".inprogress"
+        pq.write_table(body, tmp, compression=self.compression)
+        os.replace(tmp, path)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "p": p,
+                    "file": os.path.join("data", fname),
+                    "kind": "base",
+                    "rows": len(body),
+                    "bytes": os.path.getsize(path),
+                }
+            ]
+        )
+
+
 class PartitionBackfiller:
     """map_batches stage over partition descriptors → fresh BASE with a
     null-backfilled column computed (``CdcEngine.backfill``).  ``fn``
