@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--doc-id", action="append", required=True, help="repeatable")
     sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--as-of-lsn", type=int, default=None, help="time-travel by change-event LSN")
     sp.add_argument("--num-partitions", type=int, default=64)
     sp.add_argument("--columns", default=None, help="comma-separated projection")
 
@@ -201,7 +202,9 @@ def main(argv: list[str] | None = None) -> int:
             EngineConfig(num_partitions=args.num_partitions),
         )
         cols = args.columns.split(",") if args.columns else None
-        t = eng.lookup(args.doc_id, epoch=args.epoch, columns=cols)
+        t = eng.lookup(
+            args.doc_id, epoch=args.epoch, columns=cols, as_of_lsn=args.as_of_lsn
+        )
         print(json.dumps({"rows": t.to_pylist()}, default=str))
         return 0
 

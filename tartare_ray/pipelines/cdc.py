@@ -38,6 +38,7 @@ from ..state.manifest import (
     PartitionLineage,
     commit_manifest,
     gc_orphans,
+    list_committed_epochs,
     load_current,
     load_epoch,
 )
@@ -629,11 +630,40 @@ class CdcEngine:
             return load_current(self.table_root)
         return load_epoch(self.table_root, epoch)
 
+    def epoch_for_lsn(self, lsn: int) -> int:
+        """AS-OF-LSN time travel: the largest committed epoch whose
+        watermark is ≤ ``lsn`` — i.e. the newest snapshot reflecting
+        no change event beyond ``lsn``.  Committed states exist at
+        epoch granularity, so this is the standard as-of resolution
+        (a mid-epoch LSN maps to the epoch before it).  O(retained
+        epochs) manifest footers, no data read.  Raises ``LookupError``
+        when every retained epoch's watermark exceeds ``lsn`` (the
+        qualifying epoch was never committed or has been GC'd)."""
+        best = None
+        for e in list_committed_epochs(self.table_root):
+            m = load_epoch(self.table_root, e)
+            if m.watermark_lsn <= lsn and (best is None or e > best):
+                best = e
+        if best is None:
+            raise LookupError(
+                f"no retained epoch has watermark <= {lsn} under "
+                f"{self.table_root!r} (pre-first-epoch LSN, or GC'd)"
+            )
+        return best
+
+    def _resolve_epoch(self, epoch: int | None, as_of_lsn: int | None) -> int | None:
+        if as_of_lsn is None:
+            return epoch
+        if epoch is not None:
+            raise ValueError("pass either epoch or as_of_lsn, not both")
+        return self.epoch_for_lsn(as_of_lsn)
+
     def snapshot_dataset(
         self,
         epoch: int | None = None,
         columns: list[str] | None = None,
         predicate=None,
+        as_of_lsn: int | None = None,
     ) -> ray.data.Dataset:
         """The committed table as a streaming Dataset (conformed to the
         manifest schema — older partition files evolve lazily at read).
@@ -648,8 +678,9 @@ class CdcEngine:
         ``read_parquet``; manifests with live delta chains go through a
         per-partition merge stage (``stages/compact.py``) — one task per
         partition, no shuffle (the merge needs doc_id/op, so pruning
-        there applies after the fold)."""
-        m = self._manifest_at(epoch)
+        there applies after the fold).  ``as_of_lsn`` time-travels by
+        change-event LSN instead (``epoch_for_lsn``)."""
+        m = self._manifest_at(self._resolve_epoch(epoch, as_of_lsn))
         if m is None or not m.partitions:
             empty = (m.schema if m else self.cfg.initial_schema).empty_table()
             return ray.data.from_arrow(
@@ -1104,13 +1135,16 @@ class CdcEngine:
             self._commit(m)
             return m
 
-    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
+    def snapshot_table(
+        self, epoch: int | None = None, as_of_lsn: int | None = None
+    ) -> pa.Table:
         """Whole snapshot as one Arrow table, sorted by doc_id — tests
         and small results only (materializes on the driver).  ``epoch``
-        time-travels to any un-GC'd committed epoch."""
+        time-travels to any un-GC'd committed epoch; ``as_of_lsn`` by
+        change-event LSN instead (``epoch_for_lsn``)."""
         from ..stages.compact import merge_chain
 
-        m = self._manifest_at(epoch)
+        m = self._manifest_at(self._resolve_epoch(epoch, as_of_lsn))
         if m is None:
             return self.cfg.initial_schema.empty_table()
         tables = []
@@ -1129,6 +1163,7 @@ class CdcEngine:
         doc_ids: list[str],
         epoch: int | None = None,
         columns: list[str] | None = None,
+        as_of_lsn: int | None = None,
     ) -> pa.Table:
         """Point reads of committed state: each doc_id hashes to its
         partition, and only the TOUCHED partitions' chains are scanned
@@ -1137,13 +1172,14 @@ class CdcEngine:
         of its LSM chain without opening the base file.  I/O is
         O(touched partitions' chain suffixes), never the table.
         Deleted / never-written ids are absent from the result.
-        ``epoch`` time-travels to any un-GC'd committed epoch."""
+        ``epoch`` time-travels to any un-GC'd committed epoch;
+        ``as_of_lsn`` by change-event LSN instead (``epoch_for_lsn``)."""
         from collections import defaultdict
 
         from ..stages.compact import lookup_keys_in_chain
         from ..stages.kernels import hash_partition_ids
 
-        m = self._manifest_at(epoch)
+        m = self._manifest_at(self._resolve_epoch(epoch, as_of_lsn))
         schema = m.schema if m is not None else self.cfg.initial_schema
         cols = list(columns) if columns is not None else list(schema.names)
         if "doc_id" not in cols:

@@ -123,6 +123,18 @@ def commit_manifest(table_root: str, m: Manifest) -> None:
     _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(m.epoch))
 
 
+def list_committed_epochs(table_root: str) -> list[int]:
+    """Committed, un-GC'd epoch numbers, ascending (footer-only)."""
+    mdir = os.path.join(table_root, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(n[1:7])
+        for n in os.listdir(mdir)
+        if n.startswith("e") and n.endswith(".json")
+    )
+
+
 def _view_retention_floor(table_root: str) -> int | None:
     """Oldest epoch any persisted incremental view still depends on.
 

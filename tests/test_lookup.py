@@ -105,3 +105,46 @@ def test_lookup_cli(ray_session, tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     rows = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
     assert len(rows) == 1 and rows[0]["doc_id"] == doc and "n_tok" in rows[0]
+
+
+def test_as_of_lsn_time_travel(ray_session, tmp_path):
+    """epoch_for_lsn + as_of_lsn= on snapshot_table/lookup: an LSN maps
+    to the newest epoch whose watermark does not exceed it; mid-epoch
+    LSNs resolve to the epoch before; pre-history LSNs raise."""
+    import pytest
+
+    from tartare_ray.oracle import replay_oracle
+
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=5000, n_docs=400, events_per_file=1000),
+    )
+    log = os.path.dirname(res.files[0])
+    eng = CdcEngine(
+        log, str(tmp_path / "t"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=2),
+    )
+    eng.replay()  # 5 files / 2 per epoch -> epochs at watermark 1999, 3999, 4999
+
+    from tartare_ray.state.manifest import load_epoch
+
+    for probe, want_files in ((1999, 2), (2500, 2), (3999, 4), (4999, 5)):
+        e = eng.epoch_for_lsn(probe)
+        m = load_epoch(eng.table_root, e)
+        assert m.watermark_lsn <= probe
+        snap = eng.snapshot_table(as_of_lsn=probe)
+        want = replay_oracle(res.files[:want_files])
+        assert snap["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert snap["tokens"].to_pylist() == want["tokens"].to_pylist()
+        # lookup agrees at the same point in time
+        ids = snap["doc_id"].to_pylist()[:5]
+        got = eng.lookup(ids, as_of_lsn=probe)
+        hit = snap.filter(
+            pc.is_in(snap["doc_id"], value_set=__import__("pyarrow").array(ids))
+        )
+        assert got.sort_by("doc_id").to_pylist() == hit.select(got.schema.names).to_pylist()
+
+    with pytest.raises(LookupError):
+        eng.epoch_for_lsn(5)  # pre-first-watermark
+    with pytest.raises(ValueError):
+        eng.snapshot_table(epoch=1, as_of_lsn=1999)  # mutually exclusive
