@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import conform
-from .compact import DELTA_ENVELOPE, merge_chain
+from .compact import DELTA_ENVELOPE, ROW_GROUP_SIZE, merge_chain
 from .kernels import key_hash, latest_per_key
 
 
@@ -86,7 +86,9 @@ class MergeApplier:
     def _write(self, fname: str, tbl: pa.Table) -> str:
         path = os.path.join(self.table_root, "data", fname)
         tmp = path + ".inprogress"
-        pq.write_table(tbl, tmp, compression=self.compression)
+        pq.write_table(
+            tbl, tmp, compression=self.compression, row_group_size=ROW_GROUP_SIZE
+        )
         os.replace(tmp, path)
         return path
 
@@ -113,26 +115,34 @@ class MergeApplier:
         new_rows = conform(live, self.snapshot_schema).append_column("doc_hash", live_hash)
 
         chain = self._read_chain_tables(p)
-        base = (
-            merge_chain(chain, self.snapshot_schema) if len(chain) > 1
-            else (conform(chain[0], self.snapshot_schema) if chain else None)
-        )
+        if len(chain) > 1:
+            base = merge_chain(chain, self.snapshot_schema, keep_hash=True)
+        elif chain:
+            # reuse the stored cluster hash when the file carries it
+            # (post-round-2 format); conform drops it, so lift it first
+            raw = chain[0]
+            h = (
+                raw["doc_hash"].combine_chunks()
+                if "doc_hash" in raw.schema.names
+                else pa.array(key_hash(raw["doc_id"]).view(np.int64))
+            )
+            base = conform(raw, self.snapshot_schema).append_column("doc_hash", h)
+        else:
+            base = None
         if base is not None and len(base):
             keep = pc.invert(
                 pc.is_in(base["doc_id"], value_set=winners["doc_id"].combine_chunks())
             )
             base_keep = base.filter(keep)
-            base_keep = base_keep.append_column(
-                "doc_hash", pa.array(key_hash(base_keep["doc_id"]).view(np.int64))
-            )
             final = pa.concat_tables([base_keep, new_rows])
         else:
             final = new_rows
         # Deterministic output order (exactly-once under task retry):
         # (doc_hash, doc_id) — int-dominant sort, strings only on ties.
-        final = final.sort_by(
-            [("doc_hash", "ascending"), ("doc_id", "ascending")]
-        ).drop_columns(["doc_hash"])
+        # The hash column STAYS in the file: hash-sorted row groups
+        # give tight min/max stats for point-read pushdown (compact.py
+        # lookup_keys_in_chain); snapshot readers conform() it away.
+        final = final.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
         fname = part_file_name(p, self.epoch)
         path = self._write(fname, final)
         return self._lineage(p, fname, "base", len(final), lsn_lo, lsn_hi, None, path)
@@ -147,15 +157,13 @@ class MergeApplier:
         for name in reversed(DELTA_ENVELOPE):
             body = body.add_column(0, envelope.field(name), winners[name])
         body = body.append_column("doc_hash", winners["doc_hash"].combine_chunks())
-        body = body.sort_by(
-            [("doc_hash", "ascending"), ("doc_id", "ascending")]
-        ).drop_columns(["doc_hash"])
+        body = body.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
 
         if len(chain) + 1 >= self.compact_chain_len:
             # COMPACT: fold base + deltas + this epoch's winners into a
             # fresh base (tombstones physically dropped here).
             tables = self._read_chain_tables(p) + [body]
-            final = merge_chain(tables, self.snapshot_schema)
+            final = merge_chain(tables, self.snapshot_schema, keep_hash=True)
             fname = part_file_name(p, self.epoch)
             path = self._write(fname, final)
             return self._lineage(p, fname, "base", len(final), lsn_lo, lsn_hi, None, path)
@@ -233,7 +241,9 @@ class SplitApplier:
     def _write(self, fname: str, tbl: pa.Table) -> str:
         path = os.path.join(self.table_root, "data", fname)
         tmp = path + ".inprogress"
-        pq.write_table(tbl, tmp, compression=self.compression)
+        pq.write_table(
+            tbl, tmp, compression=self.compression, row_group_size=ROW_GROUP_SIZE
+        )
         os.replace(tmp, path)
         return path
 
@@ -268,7 +278,9 @@ class SplitApplier:
         starts = np.concatenate([[0], bounds])
         stops = np.concatenate([bounds, [len(parts)]])
         rows = []
-        payload = body.drop_columns(["doc_hash", "part"])
+        # doc_hash stays in the delta file (hash-clustered row groups
+        # for point-read pushdown); only the routing column is dropped
+        payload = body.drop_columns(["part"])
         for s, e in zip(starts, stops):
             p = int(parts[s])
             span = np.sort(lsns[s:e].copy())

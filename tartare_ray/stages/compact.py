@@ -33,8 +33,16 @@ from .kernels import key_hash, latest_per_key
 # Delta files carry the snapshot payload plus these envelope columns.
 DELTA_ENVELOPE = ("op", "lsn")
 
+# Row-group size for every data-file write.  Smaller than pyarrow's
+# 1Mi default so the doc_hash min/max statistics (files are written
+# hash-sorted) prune point reads to a handful of row groups even on
+# multi-million-row partitions; 128Ki keeps footer metadata small.
+ROW_GROUP_SIZE = 128 * 1024
 
-def merge_chain(tables: list[pa.Table], snapshot_schema: pa.Schema) -> pa.Table:
+
+def merge_chain(
+    tables: list[pa.Table], snapshot_schema: pa.Schema, keep_hash: bool = False
+) -> pa.Table:
     """Fold an ordered chain (base first, newest delta last) into the
     live table: per doc_id the row with the highest LSN wins (base
     rows carry no LSN and lose every conflict by the watermark
@@ -60,12 +68,18 @@ def merge_chain(tables: list[pa.Table], snapshot_schema: pa.Schema) -> pa.Table:
             ord_col = t["lsn"].combine_chunks().cast(pa.int64())
         else:
             ord_col = pa.array(np.full(n, -1, dtype=np.int64))
+        # reuse the stored cluster hash when the file carries it
+        # (post-round-2 format) — re-hashing strings is the expensive
+        # part of the fold
+        hash_arr = (
+            t["doc_hash"].combine_chunks()
+            if "doc_hash" in t.schema.names
+            else pa.array(key_hash(t["doc_id"]).view(np.int64))
+        )
         body = conform(t, snapshot_schema)
         body = body.append_column("__op", op)
         body = body.append_column("__ord", ord_col)
-        body = body.append_column(
-            "doc_hash", pa.array(key_hash(body["doc_id"]).view(np.int64))
-        )
+        body = body.append_column("doc_hash", hash_arr)
         parts.append(body)
     allt = pa.concat_tables(parts)
     win = latest_per_key(allt, key="doc_id", order_col="__ord", hash_col="doc_hash")
@@ -73,16 +87,22 @@ def merge_chain(tables: list[pa.Table], snapshot_schema: pa.Schema) -> pa.Table:
         pc.fill_null(pc.not_equal(win["__op"], "D"), True)  # base rows: op null
     )
     live = live.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
-    return live.drop_columns(["__op", "__ord", "doc_hash"])
+    drop = ["__op", "__ord"] if keep_hash else ["__op", "__ord", "doc_hash"]
+    return live.drop_columns(drop)
 
 
-def read_chain(table_root: str, chain: list[dict], snapshot_schema: pa.Schema) -> pa.Table:
+def read_chain(
+    table_root: str,
+    chain: list[dict],
+    snapshot_schema: pa.Schema,
+    keep_hash: bool = False,
+) -> pa.Table:
     """Read + merge one partition's file chain (entries in epoch
     order: ``[{"file": ..., "kind": ...}, ...]``)."""
     import os
 
     tables = [pq.read_table(os.path.join(table_root, e["file"])) for e in chain]
-    return merge_chain(tables, snapshot_schema)
+    return merge_chain(tables, snapshot_schema, keep_hash=keep_hash)
 
 
 _EPOCH_RE = None
@@ -103,6 +123,39 @@ def _chain_entry_epoch(entry: dict) -> int:
     if m is None:  # pre-naming-scheme file: treat as oldest
         return -1
     return int(m.group(1))
+
+
+def _read_pruned(pf: pq.ParquetFile, want: list[str], khs: np.ndarray) -> pa.Table:
+    """Read ``want`` columns of ``pf``, pruned to the row groups whose
+    footer min/max doc_hash statistics intersect the SORTED key-hash
+    array ``khs``.  Files without the stored cluster column (pre-
+    round-2 format) fall back to a full column read.  O(row_groups ×
+    log(len(khs))) footer work, zero data read for non-matching
+    groups."""
+    meta = pf.metadata
+    # physical column index of doc_hash in the parquet schema (nested
+    # columns flatten, so locate by path, computed from row group 0)
+    col_idx = None
+    if "doc_hash" in pf.schema_arrow.names and meta.num_row_groups:
+        rg0 = meta.row_group(0)
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == "doc_hash":
+                col_idx = i
+                break
+    if col_idx is None:
+        return pf.read(columns=want)
+    groups = []
+    for g in range(meta.num_row_groups):
+        st = meta.row_group(g).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            groups.append(g)
+            continue
+        i = int(np.searchsorted(khs, st.min, side="left"))
+        if i < len(khs) and khs[i] <= st.max:
+            groups.append(g)
+    if not groups:
+        return pf.schema_arrow.empty_table().select(want)
+    return pf.read_row_groups(groups, columns=want)
 
 
 def lookup_keys_in_chain(
@@ -129,6 +182,17 @@ def lookup_keys_in_chain(
     the retraction path of an incremental view needs 3 columns of a
     maybe-50-column snapshot, and parquet reads are columnar.
 
+    Files carrying the stored ``doc_hash`` cluster column (post-round-2
+    format) additionally get row-group pruning: data files are
+    hash-sorted with ``ROW_GROUP_SIZE`` rows per group, so each row
+    group's footer min/max statistics on doc_hash are tight ranges —
+    the sorted key hashes are binary-searched against them and only
+    intersecting row groups are read (~1 per key instead of the whole
+    file).  Done via footer stats + ``read_row_groups`` rather than a
+    ``filters=`` expression because pyarrow's stats pruning handles
+    or-of-equalities but not ``isin`` (and an or-chain over thousands
+    of retraction keys is quadratic to build).
+
     Returns live winner rows conformed to ``columns`` of the snapshot
     schema; keys that are absent or whose winner is a tombstone
     (op="D") are simply missing from the output.
@@ -150,13 +214,19 @@ def lookup_keys_in_chain(
     unresolved = keys
     out: list[pa.Table] = []
     for ep in sorted(by_epoch, reverse=True):
+        # sorted int64 hashes of the still-unresolved keys, for
+        # row-group pruning on hash-clustered files (recomputed per
+        # epoch as the unresolved set shrinks — hashing is ~free)
+        khs = np.sort(key_hash(unresolved).view(np.int64))
         hits = []
         for entry in by_epoch[ep]:
             path = os.path.join(table_root, entry["file"])
-            avail = set(pq.read_schema(path).names)
+            pf = pq.ParquetFile(path)
+            avail = set(pf.schema_arrow.names)
             want = [c for c in columns if c in avail]
             want += [c for c in DELTA_ENVELOPE if c in avail and c not in want]
-            t = pq.read_table(path, columns=want)
+            t = _read_pruned(pf, want, khs)
+            # hash collisions possible: re-filter on the string key
             hit = t.filter(pc.is_in(t["doc_id"], value_set=unresolved))
             if len(hit):
                 hits.append(hit)
@@ -238,11 +308,13 @@ class PartitionCompactor:
         for row in batch.to_pylist():
             p = int(row["p"])
             chain = json.loads(row["chain_json"])
-            merged = read_chain(self.table_root, chain, self.schema)
+            merged = read_chain(self.table_root, chain, self.schema, keep_hash=True)
             fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
             path = os.path.join(self.table_root, "data", fname)
             tmp = path + ".inprogress"
-            pq.write_table(merged, tmp, compression=self.compression)
+            pq.write_table(
+                merged, tmp, compression=self.compression, row_group_size=ROW_GROUP_SIZE
+            )
             os.replace(tmp, path)
             rows.append(
                 {
@@ -289,14 +361,15 @@ class PartitionRewriter:
                 }
             )
         p = int(group["part"][0].as_py())
-        body = group.sort_by(
-            [("doc_hash", "ascending"), ("doc_id", "ascending")]
-        ).drop_columns(["doc_hash", "part"])
-        body = conform(body, self.schema)
+        body = group.sort_by([("doc_hash", "ascending"), ("doc_id", "ascending")])
+        hash_col = body["doc_hash"].combine_chunks()
+        body = conform(body, self.schema).append_column("doc_hash", hash_col)
         fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
         path = os.path.join(self.table_root, "data", fname)
         tmp = path + ".inprogress"
-        pq.write_table(body, tmp, compression=self.compression)
+        pq.write_table(
+            body, tmp, compression=self.compression, row_group_size=ROW_GROUP_SIZE
+        )
         os.replace(tmp, path)
         return pa.Table.from_pylist(
             [
@@ -335,7 +408,9 @@ class PartitionBackfiller:
         rows = []
         for row in batch.to_pylist():
             p = int(row["p"])
-            merged = read_chain(self.table_root, json.loads(row["chain_json"]), self.schema)
+            merged = read_chain(
+                self.table_root, json.loads(row["chain_json"]), self.schema, keep_hash=True
+            )
             col = merged[self.column]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -350,7 +425,9 @@ class PartitionBackfiller:
             fname = f"part-{p:05d}-e{self.epoch:06d}.parquet"
             path = os.path.join(self.table_root, "data", fname)
             tmp = path + ".inprogress"
-            pq.write_table(merged, tmp, compression=self.compression)
+            pq.write_table(
+                merged, tmp, compression=self.compression, row_group_size=ROW_GROUP_SIZE
+            )
             os.replace(tmp, path)
             rows.append(
                 {

@@ -155,3 +155,98 @@ def test_lookup_column_pruning(chain_dir):
     got = lookup_keys_in_chain(root, chain, SCHEMA, pa.array(["d"]), ["doc_id", "n_tok"])
     assert got.schema.names == ["doc_id", "n_tok"]
     assert got.to_pylist() == [{"doc_id": "d", "n_tok": 40}]
+
+
+def _hash_clustered_table(n: int) -> pa.Table:
+    """n docs in the engine's on-disk layout: hash-sorted with the
+    int64 doc_hash cluster column stored (post-round-2 file format)."""
+    import numpy as np
+
+    from tartare_ray.stages.kernels import key_hash
+
+    ids = pa.array([f"doc-{i:06d}" for i in range(n)])
+    h = key_hash(ids).view(np.int64)
+    order = np.argsort(h, kind="stable")
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(order)),
+            "source": pa.array(["s"] * n),
+            "n_tok": pa.array(range(n), pa.int64()).take(pa.array(order)),
+            "doc_hash": pa.array(h[order]),
+        }
+    )
+
+
+def test_read_pruned_skips_row_groups(tmp_path):
+    """Hash-clustered files resolve point reads from ~1 row group per
+    key: _read_pruned must read a strict subset of a 10-row-group file
+    and still return every requested key."""
+    import numpy as np
+
+    from tartare_ray.stages.compact import _read_pruned
+    from tartare_ray.stages.kernels import key_hash
+
+    tbl = _hash_clustered_table(10_000)
+    path = str(tmp_path / "part.parquet")
+    pq.write_table(tbl, path, row_group_size=1000)
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 10
+
+    keys = pa.array(["doc-000007", "doc-004242", "doc-009999"])
+    khs = np.sort(key_hash(keys).view(np.int64))
+    got = _read_pruned(pf, ["doc_id", "n_tok"], khs)
+    # pruning: at most one row group per key was read
+    assert len(got) <= 3000
+    hit = got.filter(pc.is_in(got["doc_id"], value_set=keys))
+    assert sorted(hit["doc_id"].to_pylist()) == sorted(keys.to_pylist())
+    assert sorted(hit["n_tok"].to_pylist()) == [7, 4242, 9999]
+
+
+def test_read_pruned_no_match_reads_nothing(tmp_path):
+    import numpy as np
+
+    from tartare_ray.stages.compact import _read_pruned
+
+    tbl = _hash_clustered_table(1000)
+    path = str(tmp_path / "part.parquet")
+    pq.write_table(tbl, path, row_group_size=100)
+    pf = pq.ParquetFile(path)
+    # a hash below every stored value intersects no row group
+    lo = pc.min(tbl["doc_hash"]).as_py() - 1
+    got = _read_pruned(pf, ["doc_id", "n_tok"], np.array([lo], dtype=np.int64))
+    assert len(got) == 0
+    assert got.schema.names == ["doc_id", "n_tok"]
+
+
+def test_lookup_mixed_format_chain(tmp_path):
+    """A chain mixing pre-round-2 files (no doc_hash) and hash-
+    clustered files resolves identically: the stored column is purely
+    a pruning aid and never leaks into results."""
+    root = str(tmp_path)
+    base = _hash_clustered_table(500)  # new format, with doc_hash
+    chain = [_write(root, "part-00000-e000001.parquet", base)]
+    # old-format delta: no doc_hash column
+    chain.append(
+        _write(
+            root,
+            "delta-00000-e000002-sold.parquet",
+            pa.table(
+                {
+                    "doc_id": ["doc-000007", "doc-000400"],
+                    "op": ["U", "D"],
+                    "lsn": [11, 12],
+                    "source": ["s2", "s2"],
+                    "n_tok": [70, 0],
+                }
+            ),
+        )
+    )
+    keys = pa.array(["doc-000007", "doc-000400", "doc-000123"])
+    got = lookup_keys_in_chain(
+        root, chain, SCHEMA, keys, ["doc_id", "source", "n_tok"]
+    ).sort_by("doc_id")
+    assert got.to_pylist() == [
+        {"doc_id": "doc-000007", "source": "s2", "n_tok": 70},
+        {"doc_id": "doc-000123", "source": "s", "n_tok": 123},
+    ]
+    assert "doc_hash" not in got.schema.names
