@@ -676,6 +676,125 @@ def count_distinct(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def rollup_agg(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP(returnflag, linestatus): leaf + per-flag subtotal +
+    grand total.  The table scans and shuffles ONCE (the leaf
+    groupby); the higher levels re-aggregate the O(groups) leaf table
+    driver-side — at 100 TB the rollup cost is the leaf groupby, the
+    levels are free.  sum(l_quantity) is integer-valued, so re-summing
+    leaf sums is exact in double at any nesting."""
+    leaf = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="count_order"))
+    )
+    t = pa.Table.from_pylist(leaf.take_all())  # O(groups) rows
+
+    def level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        agg = tbl.group_by(keys).aggregate(
+            [("sum_qty", "sum"), ("count_order", "sum")]
+        ) if keys else pa.table(
+            {
+                "sum_qty_sum": [pc.sum(tbl["sum_qty"]).as_py()],
+                "count_order_sum": [pc.sum(tbl["count_order"]).as_py()],
+            }
+        )
+        n = len(agg)
+        cols = {
+            "l_returnflag": agg["l_returnflag"] if "l_returnflag" in keys else pa.array(["ALL"] * n),
+            "l_linestatus": agg["l_linestatus"] if "l_linestatus" in keys else pa.array(["ALL"] * n),
+            "sum_qty": pc.cast(pc.round(agg["sum_qty_sum"], ndigits=0), pa.int64()),
+            "count_order": pc.cast(agg["count_order_sum"], pa.int64()),
+        }
+        return pa.table(cols)
+
+    out = pa.concat_tables(
+        [
+            level(t, ["l_returnflag", "l_linestatus"]),
+            level(t, ["l_returnflag"]),
+            level(t, []),
+        ]
+    )
+    return ray.data.from_arrow(out)
+
+
+def grouped_corr(sf_dir: str) -> ray.data.Dataset:
+    """Pearson correlation per group via the associative partial-sums
+    combiner (n, Σx, Σy, Σxy, Σx², Σy² per group per block) — one
+    scan, the shuffle carries O(groups × blocks) rows of six doubles,
+    never the data.  The same shape computes covariance, variance and
+    regression slopes at 100 TB."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = b["l_quantity"], b["l_discount"]
+        aug = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+        return aug.group_by("l_returnflag").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum"), ("x", "count")]
+        )
+
+    sums = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("x_sum", alias_name="sx"),
+            Sum("y_sum", alias_name="sy"),
+            Sum("xy_sum", alias_name="sxy"),
+            Sum("xx_sum", alias_name="sxx"),
+            Sum("yy_sum", alias_name="syy"),
+            Sum("x_count", alias_name="n"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.float64())
+        cov = pc.subtract(pc.multiply(n, b["sxy"]), pc.multiply(b["sx"], b["sy"]))
+        vx = pc.subtract(pc.multiply(n, b["sxx"]), pc.multiply(b["sx"], b["sx"]))
+        vy = pc.subtract(pc.multiply(n, b["syy"]), pc.multiply(b["sy"], b["sy"]))
+        corr = pc.divide(cov, pc.sqrt(pc.multiply(vx, vy)))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "corr_qty_disc": pc.round(corr, ndigits=6),
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def string_agg_sorted(sf_dir: str) -> ray.data.Dataset:
+    """Ordered string aggregation: the distinct set of event types per
+    user, sorted and comma-joined.  Per-block distinct pre-reduce
+    bounds the shuffle to unique (user, type) pairs; the join runs in
+    map_groups over each user's handful of types."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate([])
+
+    def agg(g: pa.Table) -> pa.Table:
+        types = sorted(set(g["event_type"].to_pylist()))
+        return pa.table(
+            {"user_id": g["user_id"][:1], "types": pa.array([",".join(types)])}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -1483,6 +1602,9 @@ QUERIES = {
     "running_total": running_total,
     "pivot_status": pivot_status,
     "count_distinct": count_distinct,
+    "rollup_agg": rollup_agg,
+    "grouped_corr": grouped_corr,
+    "string_agg_sorted": string_agg_sorted,
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
     "text_stats": text_stats,
@@ -1720,6 +1842,24 @@ ORACLE_SQL = {
     "count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "rollup_agg": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "grouped_corr": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "string_agg_sorted": """
+        SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY user_id
     """,
     "token_count": """
         SELECT doc_id,
