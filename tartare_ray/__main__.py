@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--log-dir", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
 
+    sp = sub.add_parser("consumers", help="change-feed consumer cursors: list, subscribe, ack, drop")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--subscribe", default=None, metavar="ID")
+    sp.add_argument("--from-epoch", type=int, default=0)
+    sp.add_argument("--ack", default=None, metavar="ID")
+    sp.add_argument("--epoch", type=int, default=None, help="epoch to ack")
+    sp.add_argument("--drop", default=None, metavar="ID")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -239,6 +247,20 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = gc_epochs(args.table_root, keep_last=args.keep_last)
         print(json.dumps({"files_removed": removed}))
+        return 0
+
+    if args.cmd == "consumers":
+        from .state import consumers as cons
+
+        if args.subscribe:
+            cons.subscribe(args.table_root, args.subscribe, args.from_epoch)
+        if args.ack:
+            if args.epoch is None:
+                p.error("--ack requires --epoch")
+            cons.ack(args.table_root, args.ack, args.epoch)
+        if args.drop:
+            cons.drop_consumer(args.table_root, args.drop)
+        print(json.dumps({"consumers": cons.list_consumers(args.table_root)}))
         return 0
 
     if args.cmd == "detect-hot-keys":

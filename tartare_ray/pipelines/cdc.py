@@ -874,6 +874,61 @@ class CdcEngine:
             lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
         )
 
+    # -- change-feed consumer groups ----------------------------------------
+    def subscribe(self, consumer_id: str, from_epoch: int = 0) -> int:
+        """Register a downstream change-feed consumer.  Epochs >
+        ``from_epoch`` will be delivered by ``consume``; registration
+        pins those epochs against ``gc_epochs`` until acked.
+        Idempotent; returns the consumer's current cursor."""
+        from ..state.consumers import subscribe
+
+        return int(subscribe(self.table_root, consumer_id, from_epoch)["acked_epoch"])
+
+    def consume(self, consumer_id: str):
+        """Generator over the consumer's unacked epochs, in commit
+        order: yields ``(epoch, changes_dataset(epoch))``.  The caller
+        applies each feed downstream, then calls ``ack_changes`` — a
+        crash before the ack re-delivers that epoch on the next
+        ``consume`` (at-least-once of an idempotent latest-per-key
+        feed ⇒ exactly-once end-to-end).  Epochs committed while the
+        generator is live are picked up too (cursor + committed list
+        re-checked per step), so ``for e, ds in eng.consume(cid)`` in
+        a tail loop drains continuously."""
+        from ..state.consumers import load_cursor
+        from ..state.manifest import list_committed_epochs
+
+        cur = load_cursor(self.table_root, consumer_id)
+        if cur is None:
+            raise LookupError(f"consumer {consumer_id!r} is not subscribed")
+        while True:
+            pending = [e for e in list_committed_epochs(self.table_root) if e > cur]
+            if not pending:
+                return
+            e = pending[0]
+            yield e, self.changes_dataset(e)
+            # re-read: the consumer may have acked (normal), or not
+            # (it will see this epoch again on the next consume call)
+            acked = load_cursor(self.table_root, consumer_id)
+            cur = max(cur if acked is None else acked, e)
+
+    def ack_changes(self, consumer_id: str, epoch: int) -> int:
+        """Durably advance ``consumer_id``'s cursor past ``epoch``
+        (monotone — late/duplicate acks are no-ops).  Only committed
+        epochs can be acked."""
+        from ..state.consumers import ack
+        from ..state.manifest import list_committed_epochs
+
+        committed = list_committed_epochs(self.table_root)
+        if not committed or epoch > max(committed):
+            raise ValueError(f"epoch {epoch} is not committed yet")
+        return ack(self.table_root, consumer_id, epoch)
+
+    def consumers(self) -> dict[str, int]:
+        """{consumer_id: acked_epoch} for every registration."""
+        from ..state.consumers import list_consumers
+
+        return list_consumers(self.table_root)
+
     def _quarantine_dir(self, epoch: int) -> str:
         return f"{self.table_root}/_quarantine/e{epoch:06d}"
 

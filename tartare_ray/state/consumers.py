@@ -1,0 +1,122 @@
+"""Consumer-group cursors for the per-epoch change feed.
+
+A downstream consumer (replica table, search indexer, feature store)
+processes ``changes_dataset(e)`` for each committed epoch in order and
+acknowledges each epoch after durably applying it.  The cursor — the
+highest acked epoch — is persisted per consumer id under
+``table_root/_consumers/<id>.json`` (atomic tmp+rename like every
+other state file), so a crashed consumer resumes exactly at its first
+unacked epoch: at-least-once delivery of an idempotent feed (the feed
+is latest-per-key winners + tombstones, so re-applying an epoch is
+harmless), which composes to exactly-once end-to-end.
+
+Registered consumers also pin GC (``gc_epochs``): epochs a consumer
+has not yet acked — and the acked epoch itself, whose manifest is the
+parent watermark the next epoch's feed re-derivation needs — cannot
+be deleted, mirroring the incremental-view retention floor.
+Unregister (``drop_consumer``) to release the pin.
+
+Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
+tartare publishes each export to subscribed coverages/platforms and
+tracks per-platform publication state; the cursor file is that
+publication state reduced to an epoch offset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.")
+
+
+def _cdir(table_root: str) -> str:
+    return os.path.join(table_root, "_consumers")
+
+
+def _cpath(table_root: str, consumer_id: str) -> str:
+    if not consumer_id or set(consumer_id) - _SAFE:
+        raise ValueError(f"consumer id must be [A-Za-z0-9-_.]+, got {consumer_id!r}")
+    return os.path.join(_cdir(table_root), f"{consumer_id}.json")
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def subscribe(table_root: str, consumer_id: str, from_epoch: int = 0) -> dict:
+    """Register a consumer at ``from_epoch`` (epochs > from_epoch will
+    be delivered; 0 = from the beginning).  Existing registrations are
+    returned unchanged — subscribe is idempotent and never moves a
+    live cursor backward."""
+    path = _cpath(table_root, consumer_id)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    os.makedirs(_cdir(table_root), exist_ok=True)
+    state = {"consumer_id": consumer_id, "acked_epoch": int(from_epoch)}
+    _atomic_write(path, json.dumps(state))
+    return state
+
+
+def load_cursor(table_root: str, consumer_id: str) -> int | None:
+    """Highest acked epoch, or None if the consumer is not registered."""
+    path = _cpath(table_root, consumer_id)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["acked_epoch"])
+
+
+def ack(table_root: str, consumer_id: str, epoch: int) -> int:
+    """Advance the cursor to ``epoch``.  Monotone: acking at or below
+    the current cursor is a no-op (a retried consumer never regresses
+    the offset).  Returns the cursor after the call."""
+    cur = load_cursor(table_root, consumer_id)
+    if cur is None:
+        raise LookupError(f"consumer {consumer_id!r} is not subscribed")
+    if epoch <= cur:
+        return cur
+    _atomic_write(
+        _cpath(table_root, consumer_id),
+        json.dumps({"consumer_id": consumer_id, "acked_epoch": int(epoch)}),
+    )
+    return int(epoch)
+
+
+def drop_consumer(table_root: str, consumer_id: str) -> bool:
+    """Unregister (releases the GC pin). True if it existed."""
+    path = _cpath(table_root, consumer_id)
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False
+
+
+def list_consumers(table_root: str) -> dict[str, int]:
+    """{consumer_id: acked_epoch} for every registration."""
+    d = _cdir(table_root)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".json"):
+            with open(os.path.join(d, n)) as f:
+                s = json.load(f)
+            out[s["consumer_id"]] = int(s["acked_epoch"])
+    return out
+
+
+def consumer_retention_floor(table_root: str) -> int | None:
+    """Oldest epoch any registered consumer still needs: its acked
+    epoch (the parent-watermark manifest for re-deriving the next
+    feed) and everything after it.  None when no consumers exist."""
+    cursors = list_consumers(table_root)
+    if not cursors:
+        return None
+    return min(cursors.values())

@@ -167,7 +167,8 @@ def gc_epochs(table_root: str, keep_last: int = 2) -> int:
     those epochs is given up), plus the old manifests/metrics.  Never
     touches anything reachable from a retained manifest — or from any
     epoch a persisted incremental view still needs for retractions
-    (``_view_retention_floor``).  Holds the single-writer flock for the
+    (``_view_retention_floor``), or that a registered change-feed
+    consumer has not yet acknowledged (``consumer_retention_floor``).  Holds the single-writer flock for the
     scan+delete: a concurrent in-flight epoch writes files no manifest
     references yet, and an unlocked GC would delete them out from
     under the pending commit.  Readers need no lock (committed files
@@ -191,6 +192,13 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
     floor = _view_retention_floor(table_root)
     if floor is not None:
         keep.update(e for e in epochs if e >= floor)
+    # registered change-feed consumers pin their acked epoch (parent
+    # watermark for the next feed) and everything unacked after it
+    from .consumers import consumer_retention_floor
+
+    cfloor = consumer_retention_floor(table_root)
+    if cfloor is not None:
+        keep.update(e for e in epochs if e >= cfloor)
     live: set[str] = set()
     for e in keep:
         with open(_manifest_path(table_root, e)) as f:
