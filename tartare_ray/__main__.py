@@ -47,6 +47,9 @@ def _engine(args):
             hot_key_salts=args.salts,
             epoch_max_events=args.epoch_max_events,
             ingest_steps=tuple(steps),
+            write_mode=args.write_mode,
+            exchange=args.exchange,
+            late_materialization=args.late_materialization,
         ),
     )
 
@@ -67,6 +70,18 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument(
             "--ingest-step", action="append", default=None,
             help='registered step applied at ingest, as NAME or NAME:{"kw":v} JSON; repeatable, declared order',
+        )
+        sp.add_argument(
+            "--write-mode", choices=["cow", "delta"], default="cow",
+            help="delta = LSM chains, O(epoch winners) write amplification (the at-scale path)",
+        )
+        sp.add_argument(
+            "--exchange", choices=["sort", "hash"], default="sort",
+            help="hash = sort-free split-tolerant exchange (delta mode only; flagship bench config)",
+        )
+        sp.add_argument(
+            "--late-materialization", action="store_true",
+            help="winner-LSN envelope pass prunes the shuffle to winners only",
         )
 
     sp = sub.add_parser("replay", help="apply the whole pending log, epoch by epoch")
@@ -90,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("gc", help="drop partition files only reachable from old epochs")
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--keep-last", type=int, default=2)
+    sp.add_argument(
+        "--log-dir", action="append", default=None,
+        help="also archive fully-applied change-log files (WAL trim); repeatable",
+    )
 
     sp = sub.add_parser("status", help="committed state: epoch, watermark, partitions, bytes")
     sp.add_argument("--table-root", required=True)
@@ -243,10 +262,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "gc":
-        from .state.manifest import gc_epochs
+        from .state.manifest import gc_epochs, gc_log
 
         removed = gc_epochs(args.table_root, keep_last=args.keep_last)
-        print(json.dumps({"files_removed": removed}))
+        out = {"files_removed": removed}
+        if args.log_dir:
+            out["log_files_removed"] = gc_log(args.table_root, args.log_dir)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "consumers":

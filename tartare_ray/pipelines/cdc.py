@@ -558,6 +558,7 @@ class CdcEngine:
             schema_fingerprint=schema_fingerprint(snap_schema),
             partitions=partitions,
             num_partitions=self.cfg.num_partitions,
+            parent_watermark_lsn=cur.watermark_lsn if cur is not None else -1,
         )
         self._commit(m)
         phases["commit_s"] = round(time.perf_counter() - t_commit, 3)
@@ -836,11 +837,12 @@ class CdcEngine:
             if len(feeds) == 1:
                 return feeds[0]
             return feeds[0].union(*feeds[1:])
-        prev_w = (
-            load_epoch(self.table_root, m.parent_epoch).watermark_lsn
-            if m.parent_epoch is not None
-            else -1
-        )
+        if m.parent_watermark_lsn is not None:
+            prev_w = m.parent_watermark_lsn  # denormalized: survives parent GC
+        elif m.parent_epoch is not None:  # pre-field manifest
+            prev_w = load_epoch(self.table_root, m.parent_epoch).watermark_lsn
+        else:
+            prev_w = -1
         hi = m.watermark_lsn
         log_files = [
             f.path
@@ -1042,6 +1044,7 @@ class CdcEngine:
                 schema_fingerprint=cur.schema_fingerprint,
                 partitions=partitions,
                 num_partitions=cur.num_partitions or self.cfg.num_partitions,
+                parent_watermark_lsn=cur.watermark_lsn,
             )
             self._commit(m)
             return m
@@ -1107,6 +1110,7 @@ class CdcEngine:
             schema_fingerprint=cur.schema_fingerprint,
             partitions=partitions,
             num_partitions=cur.num_partitions or self.cfg.num_partitions,
+            parent_watermark_lsn=cur.watermark_lsn,
         )
         self._commit(m)
         return m
@@ -1186,6 +1190,7 @@ class CdcEngine:
                 schema_fingerprint=cur.schema_fingerprint,
                 partitions=partitions,
                 num_partitions=new_num_partitions,
+                parent_watermark_lsn=cur.watermark_lsn,
             )
             self._commit(m)
             return m

@@ -65,6 +65,11 @@ class Manifest:
     # mapping readers must use (lookup, views).  0 on pre-field
     # manifests (readers then fall back to their configured value).
     num_partitions: int = 0
+    # Parent epoch's watermark, denormalized so the change feed of a
+    # retained epoch ((parent_watermark, watermark] re-derivation)
+    # survives GC of the parent manifest.  None on pre-field manifests
+    # (readers fall back to loading the parent).
+    parent_watermark_lsn: int | None = None
 
     @property
     def schema(self) -> pa.Schema:
@@ -219,6 +224,55 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
             if os.path.exists(met):
                 os.remove(met)
     return removed
+
+
+def gc_log(table_root: str, log_dir) -> int:
+    """WAL archival: delete change-log files fully below every retained
+    epoch's applied range — at 10^10 events the log is the largest
+    artifact on disk and, unlike snapshots, grows without bound.
+
+    A log file is needed only by (a) the tail, for events above the
+    committed watermark, and (b) ``changes_dataset`` re-derivation of
+    a retained epoch that cannot serve its feed delta-direct (cow
+    epochs, mixed inline-compaction epochs), which reads
+    (watermark(e-1), watermark(e)].  Per retained epoch the lower
+    bound of that need is its lineage's lowest applied ``lsn_lo``
+    (rows below it inside the range are quarantine rejects the feed's
+    validity mask drops anyway); all-delta epochs and event-free
+    epochs (compaction / repartition / backfill commits) need no log
+    at all — mirroring ``changes_dataset``'s own branch exactly.
+    Every file whose footer ``max_lsn`` sits under the minimum such
+    floor is dead.  Run ``gc_epochs`` first — retention floors
+    (views, consumers, keep_last) act on THIS function through the
+    retained-manifest set.  Holds the writer lock: an in-flight epoch
+    plans from a log listing that a concurrent unlink would
+    invalidate.  Returns files removed."""
+    from ..sources.tail import list_log_files
+    from .lock import WriterLock
+
+    with WriterLock(table_root):
+        epochs = list_committed_epochs(table_root)
+        cur = load_current(table_root)
+        if not epochs or cur is None:
+            return 0
+        floors = []
+        for e in epochs:
+            m = load_epoch(table_root, e)
+            touched = [pl for pl in m.partitions if pl.epoch == e]
+            if touched and all(pl.kind == "delta" for pl in touched):
+                continue  # feed served delta-direct
+            applied = [pl.lsn_lo for pl in touched if pl.events_applied]
+            if applied:
+                floors.append(min(applied))
+            # event-free commit: empty feed range, no log need
+        # the tail only ever needs files above the committed watermark
+        floor = min(floors, default=cur.watermark_lsn + 1)
+        removed = 0
+        for f in list_log_files(log_dir):
+            if f.max_lsn < floor:
+                os.remove(f.path)
+                removed += 1
+        return removed
 
 
 def gc_orphans(table_root: str) -> int:
