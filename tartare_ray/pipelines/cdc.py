@@ -87,6 +87,13 @@ class EngineConfig:
     # write amplification O(epoch winners) instead of O(table)).
     write_mode: str = "cow"
     compact_chain_len: int = 8
+    # Size-tiered compaction trigger (post-commit pass, hash exchange):
+    # additionally compact a partition when its accumulated delta bytes
+    # reach ratio × base bytes — bounds read amplification in BYTES the
+    # way compact_chain_len bounds it in FILES (a huge base under a
+    # trickle of tiny deltas should NOT rewrite every N epochs, and a
+    # small base under fat deltas should not wait for N).  None = off.
+    compact_delta_ratio: float | None = None
     # Partition exchange strategy (SURVEY.md §8.1):
     # "sort": groupby("part").map_groups — one deterministic writer per
     #   partition per epoch; required for cow mode (the applier must see
@@ -574,13 +581,30 @@ class CdcEngine:
         write_epoch_metrics(self.table_root, metrics)
         if use_hash:
             # Split mode never compacts inline (two splits of one part
-            # would race); fold overlong chains in a dedicated
-            # no-shuffle pass under the already-held writer lock.
+            # would race); fold chains over policy in a dedicated
+            # no-shuffle pass under the already-held writer lock —
+            # SELECTIVE: only offending partitions rewrite, the rest
+            # keep their chains (write amplification stays local).
             from collections import Counter
 
             per_p = Counter(pl.p for pl in m.partitions)
-            if per_p and max(per_p.values()) >= self.cfg.compact_chain_len:
-                m2 = self._compact_locked()
+            need = {
+                p for p, n in per_p.items() if n >= self.cfg.compact_chain_len
+            }
+            if self.cfg.compact_delta_ratio is not None:
+                base_b: dict[int, int] = {}
+                delta_b: dict[int, int] = {}
+                for pl in m.partitions:
+                    d = base_b if pl.kind == "base" else delta_b
+                    d[pl.p] = d.get(pl.p, 0) + pl.bytes
+                need |= {
+                    p
+                    for p, db in delta_b.items()
+                    if db > 0
+                    and db >= self.cfg.compact_delta_ratio * base_b.get(p, 0)
+                }
+            if need:
+                m2 = self._compact_locked(only=need)
                 if m2 is not None:
                     return m2
         return m
@@ -963,6 +987,44 @@ class CdcEngine:
             return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
         return ray.data.read_parquet(files)
 
+    def drop_column(self, column: str) -> Manifest | None:
+        """Schema evolution, drop side (north_star: "added/dropped
+        columns"): commit a new epoch whose snapshot schema lacks
+        ``column``.  METADATA-ONLY — no data file is rewritten; every
+        reader conforms to the manifest schema, so the column vanishes
+        from snapshots, lookups and the change feed at once, while
+        time travel to pre-drop epochs still shows it.  The stored
+        bytes are reclaimed lazily as compaction/cow rewrites
+        partitions (their writes conform to the new schema).
+
+        Monotone-union caveat: epoch schemas unify the manifest schema
+        with the incoming change files' schemas, so if the log still
+        carries the column it re-appears (null-free) at the next
+        epoch — drop is for columns the upstream stopped sending.
+        ``doc_id`` (the key) cannot be dropped.  No-op (None) on an
+        unknown column or empty table."""
+        from ..state.lock import WriterLock
+
+        if column == "doc_id":
+            raise ValueError("cannot drop the partition key column 'doc_id'")
+        with WriterLock(self.table_root):
+            cur = load_current(self.table_root)
+            if cur is None or column not in cur.schema.names:
+                return None
+            new_schema = pa.schema([f for f in cur.schema if f.name != column])
+            m = Manifest(
+                epoch=cur.epoch + 1,
+                parent_epoch=cur.epoch,
+                watermark_lsn=cur.watermark_lsn,
+                schema_b64=Manifest.encode_schema(new_schema),
+                schema_fingerprint=schema_fingerprint(new_schema),
+                partitions=cur.partitions,
+                num_partitions=cur.num_partitions or self.cfg.num_partitions,
+                parent_watermark_lsn=cur.watermark_lsn,
+            )
+            self._commit(m)
+            return m
+
     def backfill(self, column: str, fn) -> Manifest | None:
         """Materialize an evolution-added column for old rows: rewrite
         only partitions whose chains actually CONTAIN nulls for
@@ -1049,17 +1111,22 @@ class CdcEngine:
             self._commit(m)
             return m
 
-    def compact(self) -> Manifest | None:
-        """Fold every live delta chain into a fresh base (tombstones
-        physically dropped) and commit it as a new epoch at the SAME
-        watermark — one task per partition, no shuffle.  No-op (returns
-        None) when the table is already all-base."""
+    def compact(self, partitions: list[int] | None = None) -> Manifest | None:
+        """Fold live delta chains into fresh bases (tombstones
+        physically dropped) and commit them as a new epoch at the SAME
+        watermark — one task per partition, no shuffle.  ``partitions``
+        restricts the fold to those ids (targeted compaction of a hot
+        partition; others keep their chains); default folds every
+        chain.  No-op (returns None) when nothing selected is
+        chained."""
         from ..state.lock import WriterLock
 
         with WriterLock(self.table_root):
-            return self._compact_locked()
+            return self._compact_locked(
+                only=set(partitions) if partitions is not None else None
+            )
 
-    def _compact_locked(self) -> Manifest | None:
+    def _compact_locked(self, only: set[int] | None = None) -> Manifest | None:
         import json as _json
 
         from ..stages.compact import PartitionCompactor
@@ -1069,6 +1136,8 @@ class CdcEngine:
             return None
         epoch = cur.epoch + 1
         chains = self._chains(cur)
+        if only is not None:
+            chains = {p: c for p, c in chains.items() if p in only}
         spans = {
             p: (
                 min(pl.lsn_lo for pl in cur.partitions if pl.p == p),
@@ -1086,6 +1155,8 @@ class CdcEngine:
             for p, chain in sorted(chains.items())
             if not (len(chain) == 1 and chain[0]["kind"] == "base")
         ]
+        if not items:
+            return None
         lineage_rows = (
             ray.data.from_items(items)
             .map_batches(

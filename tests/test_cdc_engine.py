@@ -526,3 +526,49 @@ def test_epoch_metrics_straggler_and_phases(ray_session, tmp_path):
         assert ph["exchange_apply_s"] > 0 and "plan_s" in ph and "commit_s" in ph
         if cfg.late_materialization:
             assert "envelope_s" in ph
+
+
+def test_drop_column_schema_evolution(ray_session, tmp_path):
+    """drop_column: metadata-only commit removes the column from every
+    reader at once; time travel still shows it; the log re-adds it if
+    events still carry it (monotone union)."""
+    import shutil
+
+    import pytest
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging,
+        GenConfig(n_events=4000, n_docs=300, events_per_file=1000, add_col_frac=0.25),
+    )
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    for f in res.files[:3]:
+        shutil.copy(f, log)
+    eng = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=4))
+    m1 = eng.replay()
+    assert "quality" in m1.schema.names
+
+    with pytest.raises(ValueError):
+        eng.drop_column("doc_id")
+    assert eng.drop_column("no_such_column") is None
+
+    m2 = eng.drop_column("quality")
+    assert m2.epoch == m1.epoch + 1 and m2.watermark_lsn == m1.watermark_lsn
+    snap = eng.snapshot_table()
+    assert "quality" not in snap.schema.names
+    # non-dropped data untouched (metadata-only commit)
+    exp = replay_oracle(res.files[:3])
+    assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    assert snap["tokens"].to_pylist() == exp["tokens"].to_pylist()
+    # point reads conform to the new schema too
+    probe = snap["doc_id"].to_pylist()[:3]
+    assert "quality" not in eng.lookup(probe).schema.names
+    # time travel to the pre-drop epoch still shows the column
+    assert "quality" in eng.snapshot_table(epoch=m1.epoch).schema.names
+
+    # the upstream still sends quality -> next epoch re-unifies it in
+    shutil.copy(res.files[3], log)
+    m3 = eng.replay()
+    assert m3.epoch == m2.epoch + 1
+    assert "quality" in m3.schema.names

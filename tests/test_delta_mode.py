@@ -173,3 +173,56 @@ def test_explicit_compact_folds_all_chains(tmp_log, ray_session):
         assert snap_before[col].to_pylist() == snap_after[col].to_pylist(), col
     # idempotent: second compact is a no-op
     assert eng.compact() is None
+
+
+def test_targeted_compact_folds_only_selected(tmp_log, ray_session):
+    """compact(partitions=[...]) rewrites only the selected chains —
+    the operational lever for one hot partition."""
+    res, cfg, tmp_path = tmp_log
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "table-target"),
+        EngineConfig(
+            num_partitions=4, epoch_max_files=1, write_mode="delta",
+            compact_chain_len=100,
+        ),
+    )
+    eng.replay()
+    snap_before = eng.snapshot_table()
+    m = eng.compact(partitions=[0, 2])
+    kinds = {}
+    for pl in m.partitions:
+        kinds.setdefault(pl.p, []).append(pl.kind)
+    assert kinds[0] == ["base"] and kinds[2] == ["base"]
+    assert any(k == "delta" for k in kinds[1]) and any(k == "delta" for k in kinds[3])
+    snap_after = eng.snapshot_table()
+    for col in snap_before.schema.names:
+        assert snap_before[col].to_pylist() == snap_after[col].to_pylist(), col
+    # selecting already-compacted partitions is a no-op
+    assert eng.compact(partitions=[0, 2]) is None
+    # the rest folds on the full pass
+    m2 = eng.compact()
+    assert m2 is not None and all(pl.kind == "base" for pl in m2.partitions)
+
+
+def test_delta_ratio_compaction_trigger(tmp_log, ray_session):
+    """compact_delta_ratio: the hash-exchange post-commit pass folds a
+    partition once its delta bytes reach ratio x base bytes, even far
+    below compact_chain_len."""
+    res, cfg, tmp_path = tmp_log
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "table-ratio"),
+        EngineConfig(
+            num_partitions=4, epoch_max_files=1, write_mode="delta",
+            exchange="hash", compact_chain_len=1000,
+            compact_delta_ratio=0.0,  # any delta bytes trigger a fold
+        ),
+    )
+    m = eng.replay()
+    # every epoch ends compacted: the head manifest is all-base
+    assert all(pl.kind == "base" for pl in m.partitions)
+    snap, want = eng.snapshot_table(), replay_oracle(res.files)
+    assert snap["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    for col in want.schema.names:
+        assert snap[col].to_pylist() == want[col].to_pylist(), col
