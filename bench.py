@@ -123,6 +123,14 @@ def run_cdc(num_cpus: int, exchange: str = "hash") -> dict:
     wall = time.perf_counter() - t0
     ea = [pl.events_applied for pl in m.partitions if pl.events_applied]
     skew = max(ea) / (sum(ea) / len(ea)) if ea else 0.0
+    # point-read latency on the committed table (hash-clustered
+    # row-group pruning, BASELINE.md): 5 single-key lookups, median
+    probe = [f"doc-{i:08d}" for i in (7, 12345, 99999, 424242, 1111111)]
+    lk = []
+    for doc in probe:
+        t1 = time.perf_counter()
+        eng.lookup([doc])
+        lk.append(time.perf_counter() - t1)
     return {
         "n_events": res.n_events,
         "wall_sec": round(wall, 2),
@@ -130,6 +138,7 @@ def run_cdc(num_cpus: int, exchange: str = "hash") -> dict:
         "lineage_rows": sum(pl.rows for pl in m.partitions),
         "partition_skew_max_over_mean": round(skew, 3),
         "epoch": m.epoch,
+        "lookup_p50_ms": round(sorted(lk)[len(lk) // 2] * 1000.0, 1),
     }
 
 

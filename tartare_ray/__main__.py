@@ -208,6 +208,16 @@ def main(argv: list[str] | None = None) -> int:
             "max_chain_len": max(chain_len.values()),  # compaction signal
             "schema_fingerprint": m.schema_fingerprint,
         }
+        # registered change-feed consumers + how many epochs behind
+        # (operability: a growing lag pins GC and says scale the consumer)
+        from .state.consumers import list_consumers
+
+        cons = list_consumers(args.table_root)
+        if cons:
+            out["consumers"] = {
+                cid: {"acked_epoch": e, "lag_epochs": m.epoch - e}
+                for cid, e in cons.items()
+            }
         # latest epoch's straggler + phase walls (operability signal:
         # a rising apply_straggler ratio says salt/repartition)
         metrics_path = os.path.join(
