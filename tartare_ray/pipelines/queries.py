@@ -954,6 +954,14 @@ def _join_side(sigs: ray.data.Dataset, key: str, sig: str, *, is_list: bool) -> 
     )
 
 
+# A signature side at or under this materialized size is broadcast
+# (ray.put once, id→row index built once per actor) instead of
+# hash-join-attached — Ray's small-side broadcast idiom.  256 MB is a
+# comfortable single object-store object; a 10^8-doc corpus (~50 GB of
+# 64-perm signatures) takes the partitioned-join path.
+_BROADCAST_SIG_BYTES = 256 << 20
+
+
 def _attach_sigs(
     pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
@@ -962,10 +970,49 @@ def _attach_sigs(
     a: str = "sig_a",
     b: str = "sig_b",
 ) -> ray.data.Dataset:
-    """Hash-partitioned verification join: candidate (doc_a, doc_b)
-    pairs ⋈ signatures on doc_a then doc_b.  This is the 100 TB path —
-    the data moved is O(candidates × sig_width); no driver-side or
-    broadcast whole-corpus structure (stages/dedup.py docstring)."""
+    """Verification join: candidate (doc_a, doc_b) pairs get their
+    signatures attached.  Adaptive by the signature side's size:
+
+    - ≤ ``_BROADCAST_SIG_BYTES``: broadcast path — the encoded table
+      ships once via ``ray.put`` and pairs stream through plain tasks
+      that read it zero-copy (no shuffle, no pair materialization, no
+      actor-pool spin-up — pairs are a handful of blocks);
+    - else: hash-partitioned two-join path — the 100 TB shape, data
+      moved is O(candidates × sig_width), no driver-side or broadcast
+      whole-corpus structure (stages/dedup.py docstring)."""
+    try:
+        size = sigs.size_bytes()
+    except Exception:
+        size = None
+    if size is not None and size <= _BROADCAST_SIG_BYTES:
+        # gate-bounded: fetch the materialized signature blocks
+        # (zero-copy plasma reads), encode once, ray.put once
+        blocks = [t for t in (ray.get(r) for r in sigs.to_arrow_refs()) if t.num_columns]
+        if blocks:
+            tbl = pa.concat_tables(blocks)
+            if is_list:
+                tbl = D.sig_binary_batch(tbl, "doc_id", "sig")
+            else:
+                tbl = pa.table({"doc_id": tbl["doc_id"], "sig": tbl["sig"]})
+            ref = ray.put(tbl)
+
+            def attach(batch: pa.Table, ref=ref, a=a, b=b) -> pa.Table:
+                import pandas as pd
+
+                t = ray.get(ref)  # zero-copy shared-memory read
+                idx = pd.Index(t["doc_id"].to_numpy(zero_copy_only=False))
+                sig = t["sig"].combine_chunks()
+                ia = idx.get_indexer(batch["doc_a"].to_numpy(zero_copy_only=False))
+                ib = idx.get_indexer(batch["doc_b"].to_numpy(zero_copy_only=False))
+                keep = (ia >= 0) & (ib >= 0)
+                out = batch.filter(pa.array(keep))
+                out = out.append_column(a, sig.take(pa.array(ia[keep])))
+                return out.append_column(b, sig.take(pa.array(ib[keep])))
+
+            return pairs.map_batches(
+                attach, batch_format="pyarrow", zero_copy_batch=True
+            )
+    pairs = _pairs_norm(pairs)
     nparts = _size_parts(pairs, sigs)
     j = pairs.join(
         _join_side(sigs, "a_id", a, is_list=is_list),
@@ -999,7 +1046,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pairs with
     signature-estimated Jaccard ≥ threshold."""
     pairs, sigs = _minhash_candidates(sf_dir)
-    return _attach_sigs(_pairs_norm(pairs), sigs, is_list=True).map_batches(
+    return _attach_sigs(pairs, sigs, is_list=True).map_batches(
         lambda b: D.verify_minhash_pairs_batch(b, threshold=threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -1015,7 +1062,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = _pairs_norm(_pairs_from_buckets(blocks, ["block", "block_val"]))
+    pairs = _pairs_from_buckets(blocks, ["block", "block_val"])
     return _attach_sigs(pairs, sigs, is_list=False).map_batches(
         lambda b: D.verify_simhash_pairs_batch(b, max_hamming=max_hamming),
         batch_format="pyarrow",

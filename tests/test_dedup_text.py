@@ -140,3 +140,23 @@ def test_text_stats_vectorized_counts(ray_session):
     assert out["n_words"].to_pylist() == [4, 1]
     assert out["n_stopwords"].to_pylist() == [3, 0]
     assert out["n_chars"].to_pylist() == [13, 8]
+
+
+def test_attach_sigs_broadcast_and_join_paths_agree(ray_session, monkeypatch):
+    """The size-gated broadcast fast path and the hash-partitioned
+    join (100 TB) path must emit identical verified pairs."""
+    import pandas as pd
+
+    import tartare_ray.pipelines.queries as Q
+
+    SF = "/root/testdata/sf0.001"
+
+    def run():
+        df = Q.QUERIES["minhash_lsh_dedup"](SF).to_pandas()
+        return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    fast = run()  # small corpus -> broadcast path
+    monkeypatch.setattr(Q, "_BROADCAST_SIG_BYTES", 0)  # force the join path
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
