@@ -97,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--n-events", type=int, required=True)
     sp.add_argument("--n-docs", type=int, default=None)
     sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--events-per-file", type=int, default=100_000)
 
     sp = sub.add_parser("publish", help="promote CURRENT snapshot to environment(s), in order")
     sp.add_argument("--table-root", required=True)
@@ -137,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--log-dir", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
 
+    sp = sub.add_parser("rollback", help="discard epochs newer than --epoch; replay re-applies the log")
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--epoch", type=int, required=True)
+
     sp = sub.add_parser("consumers", help="change-feed consumer cursors: list, subscribe, ack, drop")
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--subscribe", default=None, metavar="ID")
@@ -156,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_events=args.n_events,
                 n_docs=args.n_docs or max(1000, args.n_events // 10),
                 seed=args.seed,
+                events_per_file=args.events_per_file,
             ),
         )
         print(json.dumps({"files": len(res.files), "n_events": res.n_events, "max_lsn": res.max_lsn}))
@@ -279,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.log_dir:
             out["log_files_removed"] = gc_log(args.table_root, args.log_dir)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "rollback":
+        from .state.manifest import rollback_to
+
+        print(json.dumps(rollback_to(args.table_root, args.epoch)))
         return 0
 
     if args.cmd == "consumers":

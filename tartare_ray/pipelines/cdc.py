@@ -987,6 +987,17 @@ class CdcEngine:
             return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
         return ray.data.read_parquet(files)
 
+    def rollback(self, epoch: int) -> Manifest:
+        """Roll the table back to a committed epoch and discard every
+        newer one (``state/manifest.py::rollback_to``).  The log is
+        untouched — ``replay()`` afterwards re-applies events above
+        the target watermark, which is the incident workflow: fix the
+        log, roll back, replay.  Returns the now-current manifest."""
+        from ..state.manifest import rollback_to
+
+        rollback_to(self.table_root, epoch)
+        return load_current(self.table_root)
+
     def drop_column(self, column: str) -> Manifest | None:
         """Schema evolution, drop side (north_star: "added/dropped
         columns"): commit a new epoch whose snapshot schema lacks

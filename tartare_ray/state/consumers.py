@@ -112,6 +112,23 @@ def list_consumers(table_root: str) -> dict[str, int]:
     return out
 
 
+def clamp_all(table_root: str, max_epoch: int) -> int:
+    """Admin: pull every cursor above ``max_epoch`` down to it —
+    rollback support (epochs past the target no longer exist, so a
+    consumer must re-consume from the rollback point).  The ONLY
+    operation that moves a cursor backward; runs under the caller's
+    writer lock.  Returns the number of cursors clamped."""
+    n = 0
+    for cid, acked in list_consumers(table_root).items():
+        if acked > max_epoch:
+            _atomic_write(
+                _cpath(table_root, cid),
+                json.dumps({"consumer_id": cid, "acked_epoch": int(max_epoch)}),
+            )
+            n += 1
+    return n
+
+
 def consumer_retention_floor(table_root: str) -> int | None:
     """Oldest epoch any registered consumer still needs: its acked
     epoch (the parent-watermark manifest for re-deriving the next

@@ -226,6 +226,81 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
     return removed
 
 
+def rollback_to(table_root: str, epoch: int) -> dict:
+    """Admin rollback (the bad-data incident lever): make ``epoch``
+    the CURRENT committed state and DISCARD every newer epoch — their
+    manifests, exclusively-referenced data files, metrics, quarantine
+    dirs, incremental-view checkpoints, and consumer cursors past the
+    target (clamped so consumers re-consume from the rollback point).
+    The change LOG is untouched: a subsequent ``replay()`` re-applies
+    events above the target watermark — fix the log, roll back,
+    replay.  Metadata-heavy but data-light: only files no retained
+    manifest references are unlinked.
+
+    Holds the writer lock.  CURRENT swaps first (atomic), so a crash
+    mid-cleanup leaves the table correctly rolled back with stale
+    future-epoch artifacts; re-running ``rollback_to(epoch)`` is
+    idempotent and completes the cleanup — do that before the next
+    write after a crashed rollback."""
+    import shutil
+
+    from .consumers import clamp_all
+    from .lock import WriterLock
+
+    with WriterLock(table_root):
+        epochs = list_committed_epochs(table_root)
+        if epoch not in epochs:
+            raise LookupError(
+                f"epoch {epoch} is not a committed, retained epoch of {table_root!r}"
+            )
+        drop = [e for e in epochs if e > epoch]
+        # 1. the atomic point of no return
+        _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(epoch))
+        # 2. liveness: files any KEPT manifest references stay
+        live: set[str] = set()
+        for e in epochs:
+            if e <= epoch:
+                with open(_manifest_path(table_root, e)) as f:
+                    live.update(p["file"] for p in json.load(f)["partitions"])
+        files_removed = 0
+        for e in drop:
+            with open(_manifest_path(table_root, e)) as f:
+                refs = {p["file"] for p in json.load(f)["partitions"]}
+            for rel in refs - live:
+                path = os.path.join(table_root, rel)
+                if os.path.exists(path):
+                    os.remove(path)
+                    files_removed += 1
+            os.remove(_manifest_path(table_root, e))
+            met = os.path.join(table_root, "_metrics", f"e{e:06d}.json")
+            if os.path.exists(met):
+                os.remove(met)
+            q = os.path.join(table_root, "_quarantine", f"e{e:06d}")
+            if os.path.isdir(q):
+                shutil.rmtree(q)
+        # 3. view checkpoints past the target are no longer derivable
+        vdir = os.path.join(table_root, "_views")
+        views_dropped = 0
+        if os.path.isdir(vdir):
+            for name in os.listdir(vdir):
+                sub = os.path.join(vdir, name)
+                if not os.path.isdir(sub):
+                    continue
+                for n in os.listdir(sub):
+                    if n.startswith("e") and n.endswith(".json") and int(n[1:7]) > epoch:
+                        os.remove(os.path.join(sub, n))
+                        views_dropped += 1
+        # 4. consumers must re-consume from the rollback point
+        consumers_clamped = clamp_all(table_root, epoch)
+        return {
+            "rolled_back_to": epoch,
+            "epochs_dropped": len(drop),
+            "files_removed": files_removed,
+            "view_checkpoints_dropped": views_dropped,
+            "consumers_clamped": consumers_clamped,
+        }
+
+
 def gc_log(table_root: str, log_dir) -> int:
     """WAL archival: delete change-log files fully below every retained
     epoch's applied range — at 10^10 events the log is the largest
