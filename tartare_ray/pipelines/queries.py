@@ -772,6 +772,65 @@ def grouped_corr(sf_dir: str) -> ray.data.Dataset:
     return sums.map_batches(finalize, batch_format="pyarrow")
 
 
+def ntile_quartiles(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """NTILE(k) per event_type ordered by (value, event_id): one key
+    shuffle, then vectorized bucket assignment per group replicating
+    SQL NTILE exactly (first n mod k buckets get one extra row)."""
+
+    def per_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("value", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        base, rem = divmod(len(g), k)
+        sizes = np.full(k, base)
+        sizes[:rem] += 1
+        q = np.repeat(np.arange(1, k + 1), sizes)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "event_id": g["event_id"],
+                "quartile": pa.array(q.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .groupby("event_type")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def value_histogram(sf_dir: str, width: float = 50.0) -> ray.data.Dataset:
+    """Fixed-width value histogram with per-bin mean: per-batch
+    (bin → count, sum) partials combine before the tiny O(bins)
+    groupby — the shuffle never carries rows."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(b["value"], width)), pa.int64())
+        t = pa.table({"bin": bins, "value": b["value"]})
+        return t.group_by("bin").aggregate([("value", "sum"), ("value", "count")])
+
+    agg = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(
+            Sum("value_sum", alias_name="sum_v"),
+            Sum("value_count", alias_name="n"),
+        )
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        avg = pc.round(
+            pc.divide(b["sum_v"], pc.cast(n, pa.float64())), ndigits=6
+        )
+        return pa.table({"bin": b["bin"], "n": n, "avg_value": avg})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def string_agg_sorted(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation: the distinct set of event types per
     user, sorted and comma-joined.  Per-block distinct pre-reduce
@@ -1652,6 +1711,8 @@ QUERIES = {
     "rollup_agg": rollup_agg,
     "grouped_corr": grouped_corr,
     "string_agg_sorted": string_agg_sorted,
+    "ntile_quartiles": ntile_quartiles,
+    "value_histogram": value_histogram,
     "token_count": token_count,
     "bpe_token_count": bpe_token_count,
     "text_stats": text_stats,
@@ -1907,6 +1968,16 @@ ORACLE_SQL = {
         SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY user_id
+    """,
+    "ntile_quartiles": """
+        SELECT event_type, event_id,
+               ntile(4) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS quartile
+        FROM events
+    """,
+    "value_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY bin
     """,
     "token_count": """
         SELECT doc_id,
