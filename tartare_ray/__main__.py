@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     add_engine_args(sp)
     sp.add_argument("--poll-interval", type=float, default=5.0)
     sp.add_argument("--max-polls", type=int, default=None, help="stop after N empty polls (default: forever)")
+    sp.add_argument(
+        "--gc-every", type=int, default=None, metavar="N",
+        help="after every N committed epochs, run gc_epochs + gc_log (bounded storage in steady state)",
+    )
+    sp.add_argument("--gc-keep-last", type=int, default=2)
 
     sp = sub.add_parser("gen", help="write a synthetic change log")
     sp.add_argument("--log-dir", required=True)
@@ -137,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("detect-hot-keys", help="sample the log, recommend a salt count")
     sp.add_argument("--log-dir", required=True)
     sp.add_argument("--num-partitions", type=int, default=64)
+
+    sp = sub.add_parser(
+        "verify-replay",
+        help="acceptance check: diff the committed snapshot row-for-row (incl. token arrays) against the single-process oracle applier",
+    )
+    sp.add_argument("--log-dir", action="append", required=True)
+    sp.add_argument("--table-root", required=True)
 
     sp = sub.add_parser("rollback", help="discard epochs newer than --epoch; replay re-applies the log")
     sp.add_argument("--table-root", required=True)
@@ -287,6 +299,43 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
         return 0
 
+    if args.cmd == "verify-replay":
+        # Test/incident-scale tool: the oracle applier is a driver-side
+        # dict fold, O(live table) — run it at validation scale, not
+        # against a 10^10-row production table.
+        from .oracle import replay_oracle
+        from .pipelines.cdc import CdcEngine, EngineConfig
+        from .sources.tail import list_log_files
+
+        files = [f.path for f in list_log_files(args.log_dir)]
+        if not files:
+            # gc_log may have archived the applied log — the oracle
+            # needs the full history, so the diff is impossible
+            print(json.dumps({"match": None, "error": "no log files (archived by gc_log?) — oracle needs the full log"}))
+            return 2
+        _init_ray()
+        eng = CdcEngine(args.log_dir, args.table_root, EngineConfig())
+        snap = eng.snapshot_table().sort_by("doc_id")
+        want = replay_oracle(files).sort_by("doc_id")
+        mismatches = []
+        match = snap.schema.names == want.schema.names and len(snap) == len(want)
+        if match:
+            for col in want.schema.names:
+                if snap[col].to_pylist() != want[col].to_pylist():
+                    match = False
+                    mismatches.append(col)
+        print(
+            json.dumps(
+                {
+                    "match": match,
+                    "rows": len(snap),
+                    "oracle_rows": len(want),
+                    "mismatched_columns": mismatches,
+                }
+            )
+        )
+        return 0 if match else 1
+
     if args.cmd == "rollback":
         from .state.manifest import rollback_to
 
@@ -335,7 +384,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "tail":
+        from .state.manifest import gc_epochs, gc_log
+
         empty = 0
+        committed = 0
         while True:
             m = eng.run_epoch()
             if m is None:
@@ -345,10 +397,14 @@ def main(argv: list[str] | None = None) -> int:
                 time.sleep(args.poll_interval)
             else:
                 empty = 0
-                print(
-                    json.dumps({"epoch": m.epoch, "watermark": m.watermark_lsn}),
-                    flush=True,
-                )
+                committed += 1
+                out = {"epoch": m.epoch, "watermark": m.watermark_lsn}
+                if args.gc_every and committed % args.gc_every == 0:
+                    out["gc_files_removed"] = gc_epochs(
+                        args.table_root, keep_last=args.gc_keep_last
+                    )
+                    out["gc_log_files_removed"] = gc_log(args.table_root, args.log_dir)
+                print(json.dumps(out), flush=True)
     return 1
 
 
