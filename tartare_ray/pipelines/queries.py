@@ -864,6 +864,15 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Within-document repeated-3-gram ratio (Gopher-style repetition
+    quality filter).  Rows-only: per-doc shingle-set semantics aren't
+    SQL-expressible; exactness asserted in pytest on hand-built docs."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
     """GPT-2-style pre-tokenizer counting as a single vectorized RE2
     kernel (both engines run RE2 ⇒ exact oracle)."""
@@ -1714,6 +1723,7 @@ QUERIES = {
     "ntile_quartiles": ntile_quartiles,
     "value_histogram": value_histogram,
     "token_count": token_count,
+    "doc_repetition": doc_repetition,
     "bpe_token_count": bpe_token_count,
     "text_stats": text_stats,
     "tokens_per_lang": tokens_per_lang,

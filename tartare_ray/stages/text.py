@@ -37,6 +37,38 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_stats_batch(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Gopher-style within-document repetition quality signal: the
+    fraction of duplicate word-``k``-gram shingles per document
+    (0 = no repetition, →1 = the same phrase over and over).  Fully
+    vectorized across the batch: one lexsort over (doc, shingle)
+    pairs counts distinct shingles per document — no per-row Python.
+    Documents shorter than ``k`` words fall back to word-level
+    duplicates (via ``shingle_hashes``'s short-doc rule); empty
+    documents score 0."""
+    from ..functions.hashing import shingle_hashes
+
+    wh, offsets = T.word_hash_lists(batch["text"])
+    sh, sho = shingle_hashes(wh, offsets, k=k)
+    total = np.diff(sho)
+    n = len(total)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), total)
+    order = np.lexsort((sh, doc_idx))
+    ds_, hs = doc_idx[order], sh[order]
+    new = np.ones(len(hs), dtype=bool)
+    new[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    uniq = np.bincount(ds_[new], minlength=n) if len(ds_) else np.zeros(n, np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = np.where(total > 0, 1.0 - uniq / np.maximum(total, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(total.astype(np.int64)),
+            "repetition_ratio": pa.array(np.round(rep, 6)),
+        }
+    )
+
+
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """Quality-scoring feature columns, all integer-valued so the
     driver's value-hash comparison is exact (ratios are left to the

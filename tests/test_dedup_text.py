@@ -160,3 +160,44 @@ def test_attach_sigs_broadcast_and_join_paths_agree(ray_session, monkeypatch):
     slow = run()
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0
+
+
+def test_repetition_stats_exact(ray_session):
+    import pyarrow as pa
+
+    from tartare_ray.stages.text import repetition_stats_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # 9 words -> 7 3-gram shingles, 3 distinct -> 1-3/7
+                    "a b c a b c a b c",
+                    # 5 distinct words -> 3 distinct shingles -> 0
+                    "v w x y z",
+                    # short doc (<3 words): word-level dup rule -> 1-1/2
+                    "x x",
+                    # empty: one empty token (the house/DuckDB split
+                    # convention, same as token_count) -> 1 shingle, 0
+                    "",
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(tbl)
+    assert out["n_shingles"].to_pylist() == [7, 3, 2, 1]
+    got = out["repetition_ratio"].to_pylist()
+    assert got[0] == round(1 - 3 / 7, 6)
+    assert got[1] == 0.0
+    assert got[2] == 0.5
+    assert got[3] == 0.0
+
+
+def test_doc_repetition_query_runs(ray_session):
+    from tartare_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["doc_repetition"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "n_shingles", "repetition_ratio"}
+    assert ((df.repetition_ratio >= 0) & (df.repetition_ratio < 1)).all()

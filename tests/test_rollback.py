@@ -113,3 +113,28 @@ def test_rollback_validation(ray_session, tmp_path):
     r = rollback_to(eng.table_root, 3)
     assert r["epochs_dropped"] == 0
     assert list_committed_epochs(eng.table_root) == [1, 2, 3]
+
+
+def test_rollback_crash_between_swap_and_cleanup(ray_session, tmp_path):
+    """Crash-safety: CURRENT swaps first, so a rollback that dies
+    before cleanup leaves a correctly rolled-back table with stale
+    future-epoch artifacts; re-running the same rollback is idempotent
+    and completes the cleanup."""
+    res, eng = _make(tmp_path)
+    # simulate the crash state by hand: CURRENT points at the target,
+    # but the dropped epochs' manifests/files still exist
+    cur_path = os.path.join(eng.table_root, "_manifests", "CURRENT")
+    with open(cur_path, "w") as f:
+        f.write("1")
+    assert list_committed_epochs(eng.table_root) == [1, 2, 3]  # stale
+    want_e1 = eng.snapshot_table()  # reads via CURRENT -> already rolled back
+
+    r = rollback_to(eng.table_root, 1)  # completes the cleanup
+    assert r["epochs_dropped"] == 2
+    assert list_committed_epochs(eng.table_root) == [1]
+    _assert_eq(eng.snapshot_table(), want_e1)
+
+    # and the table reconverges on replay
+    m = eng.replay()
+    assert m.epoch == 3
+    _assert_eq(eng.snapshot_table(), replay_oracle(res.files))
