@@ -157,7 +157,7 @@ def derive_change_log(sf_dir: str, log_dir: str) -> None:
 
 def flagship_workdir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/tartare_ray/flagship-v2-{__version__}-{tag}"
+    return f"/tmp/tartare_ray/flagship-v3-{__version__}-{tag}"
 
 
 def run_flagship(sf_dir: str, num_partitions: int = 8) -> CdcEngine:
@@ -171,7 +171,18 @@ def run_flagship(sf_dir: str, num_partitions: int = 8) -> CdcEngine:
     eng = CdcEngine(
         log_dir,
         table_root,
-        EngineConfig(num_partitions=num_partitions, epoch_max_files=1),
+        # the at-scale configuration (BASELINE.md flagship): LSM delta
+        # chains + sort-free hash exchange + late-materialized winner
+        # envelope — the same committed state as cow/sort (oracle-
+        # tested), exercised here so the driver smoke runs what a
+        # production replay would
+        EngineConfig(
+            num_partitions=num_partitions,
+            epoch_max_files=1,
+            write_mode="delta",
+            exchange="hash",
+            late_materialization=True,
+        ),
     )
     eng.replay()
     return eng
