@@ -218,3 +218,17 @@ def flagship_snapshot_summary(sf_dir: str) -> ray.data.Dataset:
     return eng.snapshot_dataset().map_batches(
         token_sum_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def flagship_replica_summary(sf_dir: str) -> ray.data.Dataset:
+    """Sync a downstream replica of the flagship table through the
+    change-feed consumer API (pipelines/replica.py) and summarize the
+    REPLICA's snapshot — identical rows to the source summary by the
+    exactly-once feed contract (asserted in pytest)."""
+    from .replica import sync_replica
+
+    src = run_flagship(sf_dir)
+    dest = sync_replica(src, os.path.join(flagship_workdir(sf_dir), "replica"))
+    return dest.snapshot_dataset().map_batches(
+        token_sum_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -34,7 +34,7 @@ from ..stages import multimodal as MM
 from ..stages import similarity as S
 from ..stages import text as TX
 from ..stages.kernels import argmax_per_key
-from .flagship import flagship_snapshot_summary, run_flagship
+from .flagship import flagship_replica_summary, flagship_snapshot_summary, run_flagship
 
 
 
@@ -1396,6 +1396,15 @@ def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
     return flagship_snapshot_summary(sf_dir)
 
 
+def cdc_replica_sync(sf_dir: str) -> ray.data.Dataset:
+    """Downstream replica synced exactly-once from the flagship
+    table's change feed via persisted consumer cursors
+    (pipelines/replica.py) — summary of the REPLICA snapshot, which is
+    row-for-row the source's (rows-only driver check; the row-level
+    diff runs in pytest)."""
+    return flagship_replica_summary(sf_dir)
+
+
 def cdc_incremental_view(sf_dir: str) -> pa.Table:
     """Incrementally-maintained count/sum view over the flagship table
     (pipelines/views.py): folded per-epoch from the change feed —
@@ -1742,6 +1751,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "text_embed": text_embed,
     "cdc_apply_small": cdc_apply_small,
+    "cdc_replica_sync": cdc_replica_sync,
     "cdc_incremental_view": cdc_incremental_view,
     "cdc_vocab_stats": cdc_vocab_stats,
     "cdc_pack_sequences": cdc_pack_sequences,

@@ -1,0 +1,91 @@
+"""sync_replica: a downstream table kept row-for-row identical to the
+source through the change feed, incrementally and exactly-once."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from tartare_ray.gen import GenConfig, generate_log
+from tartare_ray.oracle import replay_oracle
+from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+from tartare_ray.pipelines.replica import sync_replica
+
+
+def _assert_eq(a, b):
+    a, b = a.sort_by("doc_id"), b.sort_by("doc_id")
+    assert a.schema.names == b.schema.names
+    for col in a.schema.names:
+        assert a[col].to_pylist() == b[col].to_pylist(), col
+
+
+def test_replica_tracks_source_incrementally(ray_session, tmp_path):
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging,
+        GenConfig(n_events=8000, n_docs=400, events_per_file=2000, add_col_frac=0.3),
+    )
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    for f in res.files[:2]:
+        shutil.copy(f, log)
+    src = CdcEngine(
+        log,
+        str(tmp_path / "src"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    src.replay()
+
+    dest_work = str(tmp_path / "replica")
+    dest = sync_replica(src, dest_work)
+    _assert_eq(dest.snapshot_table(), src.snapshot_table())
+    _assert_eq(dest.snapshot_table(), replay_oracle(res.files[:2]))
+
+    # source advances (incl. the evolved quality column) -> incremental sync
+    for f in res.files[2:]:
+        shutil.copy(f, log)
+    src.replay()
+    dest = sync_replica(src, dest_work)
+    _assert_eq(dest.snapshot_table(), src.snapshot_table())
+    _assert_eq(dest.snapshot_table(), replay_oracle(res.files))
+    # consumer fully acked; re-sync is a no-op that returns the engine
+    assert src.consumers()["replica-sync"] == 4
+    dest2 = sync_replica(src, dest_work)
+    _assert_eq(dest2.snapshot_table(), dest.snapshot_table())
+
+
+def test_replica_redelivery_is_idempotent(ray_session, tmp_path):
+    """A crash before ack re-delivers the epoch: force it by resetting
+    the cursor — the feed dirs already exist, the replica replay is
+    watermark-guarded, and the result is unchanged."""
+    from tartare_ray.state.consumers import clamp_all
+
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=6000, n_docs=300, events_per_file=2000),
+    )
+    src = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "src"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    src.replay()
+    dest_work = str(tmp_path / "replica")
+    dest = sync_replica(src, dest_work)
+    want = dest.snapshot_table()
+
+    clamp_all(src.table_root, 0)  # simulate: every ack lost
+    dest2 = sync_replica(src, dest_work)
+    _assert_eq(dest2.snapshot_table(), want)
+    assert src.consumers()["replica-sync"] == 3
+
+
+def test_cdc_replica_sync_query_matches_source(ray_session):
+    from tartare_ray.pipelines.queries import QUERIES
+
+    src = QUERIES["cdc_apply_small"]("/root/testdata/sf0.001").to_pandas()
+    rep = QUERIES["cdc_replica_sync"]("/root/testdata/sf0.001").to_pandas()
+    cols = sorted(src.columns)
+    a = src[cols].sort_values(by=cols, ignore_index=True)
+    b = rep[cols].sort_values(by=cols, ignore_index=True)
+    assert a.equals(b) and len(a) > 0
