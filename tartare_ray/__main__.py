@@ -144,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-partitions", type=int, default=64)
 
     sp = sub.add_parser(
+        "sync-replica",
+        help="pull a source table's unacked change-feed epochs and replay them into a downstream replica table",
+    )
+    sp.add_argument("--src-log-dir", action="append", required=True)
+    sp.add_argument("--src-table-root", required=True)
+    sp.add_argument("--dest", required=True, help="replica work dir (log/ + table/ created inside)")
+    sp.add_argument("--consumer-id", default="replica-sync")
+    sp.add_argument("--num-partitions", type=int, default=64)
+
+    sp = sub.add_parser(
         "verify-replay",
         help="acceptance check: diff the committed snapshot row-for-row (incl. token arrays) against the single-process oracle applier",
     )
@@ -297,6 +307,35 @@ def main(argv: list[str] | None = None) -> int:
         if args.log_dir:
             out["log_files_removed"] = gc_log(args.table_root, args.log_dir)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "sync-replica":
+        from .pipelines.cdc import CdcEngine, EngineConfig
+        from .pipelines.replica import sync_replica
+
+        _init_ray()
+        src = CdcEngine(
+            args.src_log_dir, args.src_table_root,
+            EngineConfig(num_partitions=args.num_partitions),
+        )
+        dest = sync_replica(src, args.dest, consumer_id=args.consumer_id)
+        if dest is None:
+            print(json.dumps({"synced": False, "reason": "no committed feed epochs"}))
+            return 0
+        from .state.manifest import load_current
+
+        m = load_current(dest.table_root)
+        print(
+            json.dumps(
+                {
+                    "synced": True,
+                    "replica_epoch": m.epoch,
+                    "replica_watermark": m.watermark_lsn,
+                    "rows": sum(pl.rows for pl in m.partitions),
+                    "cursor": src.consumers().get(args.consumer_id),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "verify-replay":
