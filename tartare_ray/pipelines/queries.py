@@ -1138,6 +1138,37 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     )
 
 
+def decontaminate(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """Benchmark decontamination: training documents sharing ≥1
+    word-``k``-gram with the eval set (deterministically: docs with
+    doc_id % 25 == 0), with the overlap count.  The eval shingle set
+    is the SMALL side — built once driver-side from a pruned pushdown
+    scan and broadcast via ``ray.put``; the corpus streams through a
+    vectorized sorted-membership test.  At 100 TB the corpus side
+    stays a single pruned pass; the eval side is benchmarks (MBs).
+    Rows-only: shingle semantics aren't SQL-expressible (exactness
+    pinned in pytest on planted contamination)."""
+    raw = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mask = raw["doc_id"].to_numpy() % 25 == 0
+    eval_tbl = raw.filter(pa.array(mask))
+    eval_ids = set(eval_tbl["doc_id"].to_pylist())
+    eval_ref = ray.put(D.eval_shingles(eval_tbl["text"], k=k))
+
+    def check(b: pa.Table, k=k) -> pa.Table:
+        sh = ray.get(eval_ref)  # zero-copy shared-memory read
+        out = D.contamination_batch(b, sh, k=k)
+        # the eval docs themselves trivially overlap — report only
+        # the training-side contamination
+        keep = [i not in eval_ids for i in out["doc_id"].to_pylist()]
+        return out.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     """LSH candidates verified by EXACT shingle-set Jaccard.  The
     second text pass is SEMI-JOINED to the candidate doc_ids (the
@@ -1743,6 +1774,7 @@ QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "decontaminate": decontaminate,
     "ann_topk": ann_topk,
     "embedding_dedup": embedding_dedup,
     "ann_ivf_topk": ann_ivf_topk,

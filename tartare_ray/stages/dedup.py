@@ -249,6 +249,47 @@ def shingle_binary_batch(batch: pa.Table, key: str = "doc_id", out: str = "sig")
     return pa.table({key: ids, out: pa.array(cells, pa.binary())})
 
 
+def eval_shingles(texts: pa.ChunkedArray | pa.Array, k: int) -> np.ndarray:
+    """Sorted unique word-``k``-gram hashes of a benchmark/eval corpus
+    — the broadcast side of decontamination."""
+    wh, offsets = T.word_hash_lists(texts)
+    sh, _ = shingle_hashes(wh, offsets, k=k)
+    return np.unique(sh)
+
+
+def contamination_batch(batch: pa.Table, eval_sh: np.ndarray, k: int) -> pa.Table:
+    """documents batch → docs sharing ≥1 ``k``-gram shingle with the
+    eval set, with the overlap count.  Vectorized: one sorted-array
+    membership test (searchsorted) over the batch's flattened
+    shingles, then a per-doc segment sum."""
+    wh, offsets = T.word_hash_lists(batch["text"])
+    sh, sho = shingle_hashes(wh, offsets, k=k)
+    if len(sh) == 0 or len(eval_sh) == 0:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].slice(0, 0),
+                "n_overlap": pa.array([], pa.int64()),
+            }
+        )
+    pos = np.searchsorted(eval_sh, sh)
+    hit = (pos < len(eval_sh)) & (eval_sh[np.minimum(pos, len(eval_sh) - 1)] == sh)
+    # reduceat quirks: an index == len(hit) raises and an empty segment
+    # returns the next segment's head — clip, then zero empty segments
+    seg = np.minimum(sho[:-1], len(hit) - 1)
+    per_doc = np.add.reduceat(hit, seg)
+    per_doc = np.where(np.diff(sho) > 0, per_doc, 0)
+    keep = per_doc > 0
+    ids = batch["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids.filter(pa.array(keep)),
+            "n_overlap": pa.array(per_doc[keep].astype(np.int64)),
+        }
+    )
+
+
 def verify_minhash_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
     """(doc_a, doc_b, sig_a, sig_b binary) → pairs with signature-
     estimated Jaccard ≥ threshold.  Fully vectorized: fixed-width

@@ -201,3 +201,41 @@ def test_doc_repetition_query_runs(ray_session):
     assert len(df) == 500
     assert set(df.columns) == {"doc_id", "n_shingles", "repetition_ratio"}
     assert ((df.repetition_ratio >= 0) & (df.repetition_ratio < 1)).all()
+
+
+def test_contamination_batch_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from tartare_ray.stages.dedup import contamination_batch, eval_shingles
+
+    eval_texts = pa.array(["the quick brown fox jumps over the lazy dog"])
+    sh = eval_shingles(eval_texts, k=4)
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains the 4-gram "quick brown fox jumps" (+1 more)
+                    "he saw the quick brown fox jumps over a fence",
+                    "completely unrelated words about tokens and arrays",
+                    "dog lazy the over jumps fox brown quick",  # reversed: no 4-gram hit
+                ]
+            ),
+        }
+    )
+    out = contamination_batch(corpus, sh, k=4)
+    assert out["doc_id"].to_pylist() == [1]
+    assert out["n_overlap"].to_pylist()[0] >= 1
+    # empty eval set -> nothing flagged
+    empty = contamination_batch(corpus, np.empty(0, np.uint64), k=4)
+    assert len(empty) == 0
+
+
+def test_decontaminate_query(ray_session):
+    from tartare_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["decontaminate"]("/root/testdata/sf0.001").to_pandas()
+    # eval docs themselves are excluded from the report
+    assert not (df.doc_id % 25 == 0).any()
+    assert (df.n_overlap >= 1).all()
