@@ -772,6 +772,95 @@ def grouped_corr(sf_dir: str) -> ray.data.Dataset:
     return sums.map_batches(finalize, batch_format="pyarrow")
 
 
+def _user_set_op(sf_dir: str, op: str) -> ray.data.Dataset:
+    """INTERSECT / EXCEPT over derived key sets with ONE shuffle: each
+    batch pre-reduces to per-user side-membership flags, a single
+    groupby folds them (max = logical or), and the set op is a flag
+    filter — no broadcast, no per-side distinct pass, scales to 10^9
+    keys.  Side A: users with any value > 250 event; side B: users
+    with any value > 300 event (except) / any purchase (intersect)."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        in_a = pc.greater(b["value"], 250.0)
+        if op == "except":
+            in_b = pc.greater(b["value"], 300.0)
+        else:
+            in_b = pc.equal(b["event_type"], "purchase")
+        either = pc.or_(in_a, in_b)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "in_a": pc.cast(in_a, pa.int32()),
+                "in_b": pc.cast(in_b, pa.int32()),
+            }
+        ).filter(either)
+        return t.group_by("user_id").aggregate([("in_a", "max"), ("in_b", "max")])
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("in_a_max", alias_name="a"), Max("in_b_max", alias_name="b"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        a = pc.equal(t["a"], 1)
+        b = pc.equal(t["b"], 1)
+        keep = pc.and_(a, b) if op == "intersect" else pc.and_(a, pc.invert(b))
+        return t.filter(keep).select(["user_id"])
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def set_intersect(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT of two derived user sets (single-shuffle flag fold)."""
+    return _user_set_op(sf_dir, "intersect")
+
+
+def set_except(sf_dir: str) -> ray.data.Dataset:
+    """EXCEPT of two derived user sets (single-shuffle flag fold)."""
+    return _user_set_op(sf_dir, "except")
+
+
+def conditional_agg(sf_dir: str) -> ray.data.Dataset:
+    """FILTER-clause aggregates fused in one pass: per event type, the
+    count of big-value events and the cents-exact sum of small-value
+    events — per-batch masked partials, one tiny groupby."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        big = pc.greater(b["value"], 100.0)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_big": pc.cast(big, pa.int64()),
+                "v_small": pc.if_else(big, pa.scalar(0.0), b["value"]),
+            }
+        )
+        return t.group_by("event_type").aggregate([("n_big", "sum"), ("v_small", "sum")])
+
+    agg = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_big_sum", alias_name="n_big"),
+            Sum("v_small_sum", alias_name="sum_small"),
+        )
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["sum_small"], 100.0), ndigits=0)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_big": pc.cast(b["n_big"], pa.int64()),
+                "sum_small_cents": pc.cast(cents, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def ntile_quartiles(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """NTILE(k) per event_type ordered by (value, event_id): one key
     shuffle, then vectorized bucket assignment per group replicating
@@ -1762,6 +1851,9 @@ QUERIES = {
     "string_agg_sorted": string_agg_sorted,
     "ntile_quartiles": ntile_quartiles,
     "value_histogram": value_histogram,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "conditional_agg": conditional_agg,
     "token_count": token_count,
     "doc_repetition": doc_repetition,
     "bpe_token_count": bpe_token_count,
@@ -2030,6 +2122,23 @@ ORACLE_SQL = {
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY bin
+    """,
+    "set_intersect": """
+        SELECT user_id FROM events WHERE value > 250.0
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "set_except": """
+        SELECT user_id FROM events WHERE value > 250.0
+        EXCEPT
+        SELECT user_id FROM events WHERE value > 300.0
+    """,
+    "conditional_agg": """
+        SELECT event_type,
+               count(*) FILTER (WHERE value > 100.0) AS n_big,
+               CAST(round(sum(value) FILTER (WHERE value <= 100.0) * 100, 0) AS BIGINT)
+                   AS sum_small_cents
+        FROM events GROUP BY event_type
     """,
     "token_count": """
         SELECT doc_id,
