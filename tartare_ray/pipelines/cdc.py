@@ -1036,6 +1036,63 @@ class CdcEngine:
             self._commit(m)
             return m
 
+    def requeue_quarantine(self, epoch: int, fix) -> str | None:
+        """Dead-letter reprocessing: apply ``fix`` (pa.Table →
+        pa.Table) to ``epoch``'s quarantined rows and append them to
+        the change log with FRESH LSNs (watermark+1…+n, preserving the
+        rows' original LSN order so per-doc fix ordering survives) —
+        the next epoch applies them like any other events, and rows
+        the fix left invalid simply quarantine again.
+
+        LSN allocation requires owning the sequencer: run this with
+        the producer quiesced (or the range reserved) — a producer
+        concurrently emitting the same LSNs would collide.  The output
+        file name is deterministic per source epoch
+        (``requeue-e{E}.parquet``), so a retried requeue overwrites
+        itself; once a later epoch has consumed it, rewriting is
+        harmless (its LSNs sit at or below the new watermark).
+        Quarantine sets are operationally small (they are REJECTS);
+        the fold runs driver-side.  Returns the written path, or None
+        when the epoch quarantined nothing."""
+        import os
+
+        import numpy as np
+
+        from ..state.lock import WriterLock
+
+        d = self._quarantine_dir(epoch)
+        files = (
+            [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if not files:
+            return None
+        with WriterLock(self.table_root):
+            cur = load_current(self.table_root)
+            if cur is None:
+                return None
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            fixed = fix(tbl)
+            n = len(fixed)
+            if n == 0:
+                return None
+            old = fixed["lsn"].to_numpy(zero_copy_only=False).astype("float64")
+            order = np.argsort(np.where(np.isnan(old), np.inf, old), kind="stable")
+            fixed = fixed.take(pa.array(order))
+            fresh = pa.array(
+                np.arange(cur.watermark_lsn + 1, cur.watermark_lsn + 1 + n), pa.int64()
+            )
+            fixed = fixed.set_column(
+                fixed.schema.get_field_index("lsn"), "lsn", fresh
+            )
+            first = self.log_dir if isinstance(self.log_dir, str) else self.log_dir[0]
+            path = os.path.join(first, f"requeue-e{epoch:06d}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(fixed, tmp)
+            os.replace(tmp, path)
+            return path
+
     def backfill(self, column: str, fn) -> Manifest | None:
         """Materialize an evolution-added column for old rows: rewrite
         only partitions whose chains actually CONTAIN nulls for

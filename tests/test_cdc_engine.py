@@ -572,3 +572,48 @@ def test_drop_column_schema_evolution(ray_session, tmp_path):
     m3 = eng.replay()
     assert m3.epoch == m2.epoch + 1
     assert "quality" in m3.schema.names
+
+
+def test_requeue_quarantine_dead_letter_flow(ray_session, tmp_path):
+    """Quarantined rows, fixed and requeued with fresh LSNs, enter the
+    table on the next epoch; rows the fix leaves invalid quarantine
+    again."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "lsn": pa.array([0, 1, 2, None], pa.int64()),
+            "op": ["I", "X", "I", "I"],  # 'X' and null-lsn quarantine
+            "doc_id": ["a", "b", "c", "d"],
+            "tokens": pa.array([[1], [2], [3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 1, 1], pa.int32()),
+            "source": ["s"] * 4,
+            "schema_version": pa.array([1] * 4, pa.int32()),
+        }
+    )
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    pq.write_table(t, str(log_dir / "events-000000.parquet"))
+    eng = CdcEngine(str(log_dir), str(tmp_path / "t"), EngineConfig(num_partitions=2))
+    m1 = eng.replay()
+    assert eng.snapshot_table()["doc_id"].to_pylist() == ["a", "c"]
+
+    def fix(batch: pa.Table) -> pa.Table:
+        # repair the bad op; leave the null-lsn row's op alone — after
+        # requeue it gets a fresh valid lsn, so it becomes applicable
+        ops = ["I" if o == "X" else o for o in batch["op"].to_pylist()]
+        return batch.set_column(
+            batch.schema.get_field_index("op"), "op", pa.array(ops)
+        )
+
+    path = eng.requeue_quarantine(1, fix)
+    assert path is not None and os.path.basename(path) == "requeue-e000001.parquet"
+    req = pq.read_table(path)
+    assert req["lsn"].to_pylist() == [m1.watermark_lsn + 1, m1.watermark_lsn + 2]
+
+    m2 = eng.replay()
+    assert m2.epoch == m1.epoch + 1
+    assert eng.snapshot_table()["doc_id"].to_pylist() == ["a", "b", "c", "d"]
+    # nothing re-quarantined (both rows became valid), requeue now a no-op
+    assert eng._quarantine_count(m2.epoch) == 0
+    assert eng.requeue_quarantine(m2.epoch, fix) is None
