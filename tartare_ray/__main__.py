@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("status", help="committed state: epoch, watermark, partitions, bytes")
     sp.add_argument("--table-root", required=True)
 
+    sp = sub.add_parser("history", help="time-travel catalog: every retained committed epoch")
+    sp.add_argument("--table-root", required=True)
+
     sp = sub.add_parser("lookup", help="point-read current state of doc ids (partition-pruned chain-suffix scan)")
     sp.add_argument("--table-root", required=True)
     sp.add_argument("--doc-id", action="append", required=True, help="repeatable")
@@ -257,6 +260,14 @@ def main(argv: list[str] | None = None) -> int:
             out["last_epoch_straggler"] = em.get("straggler")
             out["last_epoch_phases"] = em.get("phases")
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "history":
+        from .pipelines.cdc import CdcEngine, EngineConfig
+
+        eng = CdcEngine("/nonexistent-log", args.table_root, EngineConfig())
+        for row in eng.history():
+            print(json.dumps(row))
         return 0
 
     if args.cmd == "lookup":

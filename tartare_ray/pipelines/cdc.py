@@ -900,6 +900,84 @@ class CdcEngine:
             lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
         )
 
+    def history(self) -> list[dict]:
+        """Committed-epoch catalog, newest first — the time-travel
+        index (manifest footers only, no data read): epoch, parent,
+        watermark, live file counts by kind, rows/bytes, schema
+        fingerprint, partition count."""
+        from collections import Counter
+
+        from ..state.manifest import list_committed_epochs
+
+        out = []
+        for e in reversed(list_committed_epochs(self.table_root)):
+            m = load_epoch(self.table_root, e)
+            kinds = Counter(pl.kind for pl in m.partitions)
+            out.append(
+                {
+                    "epoch": m.epoch,
+                    "parent_epoch": m.parent_epoch,
+                    "watermark_lsn": m.watermark_lsn,
+                    "rows": sum(pl.rows for pl in m.partitions),
+                    "bytes": sum(pl.bytes for pl in m.partitions),
+                    "files": dict(kinds),
+                    "num_partitions": m.num_partitions,
+                    "schema_fingerprint": m.schema_fingerprint,
+                }
+            )
+        return out
+
+    def changes_between(self, lo_lsn: int, hi_lsn: int) -> ray.data.Dataset:
+        """Audit scan: every change applied with ``lo_lsn < lsn <=
+        hi_lsn``, served as the union of the intersecting epochs'
+        change feeds filtered to the range.  Granularity is the feed's
+        (per epoch, latest-per-key): a doc updated twice INSIDE one
+        epoch shows only that epoch's winner, while updates in
+        different epochs each appear — exactly what the committed
+        history contains.  Only retained (un-GC'd) epochs are
+        servable; a range reaching below them raises."""
+        from ..state.manifest import list_committed_epochs
+
+        if hi_lsn <= lo_lsn:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [CHANGE_SCHEMA.field("op"), CHANGE_SCHEMA.field("lsn")]
+                ).empty_table()
+            )
+        feeds = []
+        for e in list_committed_epochs(self.table_root):
+            m = load_epoch(self.table_root, e)
+            prev_w = m.parent_watermark_lsn
+            if prev_w is None:
+                prev_w = (
+                    load_epoch(self.table_root, m.parent_epoch).watermark_lsn
+                    if m.parent_epoch is not None
+                    else -1
+                )
+            if m.watermark_lsn <= prev_w:  # event-free commit
+                continue
+            if m.watermark_lsn <= lo_lsn:
+                continue
+            if prev_w >= hi_lsn:
+                break
+            if prev_w < lo_lsn or m.watermark_lsn > hi_lsn:
+                raise LookupError(
+                    f"range ({lo_lsn}, {hi_lsn}] cuts epoch {e} "
+                    f"(({prev_w}, {m.watermark_lsn}]) — pass epoch-aligned "
+                    "bounds (watermarks from history())"
+                )
+            feeds.append(self.changes_dataset(e))
+        if not feeds:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [CHANGE_SCHEMA.field("op"), CHANGE_SCHEMA.field("lsn")]
+                ).empty_table()
+            )
+        ds = feeds[0]
+        if len(feeds) > 1:
+            ds = ds.union(*feeds[1:])
+        return ds
+
     # -- change-feed consumer groups ----------------------------------------
     def subscribe(self, consumer_id: str, from_epoch: int = 0) -> int:
         """Register a downstream change-feed consumer.  Epochs >

@@ -617,3 +617,43 @@ def test_requeue_quarantine_dead_letter_flow(ray_session, tmp_path):
     # nothing re-quarantined (both rows became valid), requeue now a no-op
     assert eng._quarantine_count(m2.epoch) == 0
     assert eng.requeue_quarantine(m2.epoch, fix) is None
+
+
+def test_history_and_changes_between(ray_session, tmp_path):
+    """history() is the time-travel catalog; changes_between serves an
+    epoch-aligned LSN-range audit scan from the feeds."""
+    import pyarrow.compute as pc_
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=6000, n_docs=400, events_per_file=2000)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"),
+        str(tmp_path / "t"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    eng.replay()
+    h = eng.history()
+    assert [r["epoch"] for r in h] == [3, 2, 1]
+    assert h[0]["watermark_lsn"] == 5999 and h[2]["watermark_lsn"] == 1999
+    assert all(r["rows"] > 0 and r["files"] for r in h)
+
+    # range covering epochs 2..3, epoch-aligned at watermarks
+    ds = eng.changes_between(1999, 5999)
+    t = ds.to_arrow_refs()
+    import pyarrow as pa_
+    import ray as ray_
+
+    tbl = pa_.concat_tables([ray_.get(r) for r in t])
+    assert len(tbl) > 0
+    assert pc_.min(tbl["lsn"]).as_py() >= 2000
+    assert pc_.max(tbl["lsn"]).as_py() <= 5999
+    # per-epoch winner granularity: matches the two feeds' union count
+    n2 = eng.changes_dataset(2).count()
+    n3 = eng.changes_dataset(3).count()
+    assert len(tbl) == n2 + n3
+
+    # empty + misaligned ranges
+    assert eng.changes_between(5999, 5999).count() == 0
+    with pytest.raises(LookupError):
+        eng.changes_between(100, 5999)
