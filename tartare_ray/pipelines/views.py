@@ -94,7 +94,15 @@ class IncrementalAggView:
             if m.parent_epoch is not None
             else m.schema
         )
-        P = eng.cfg.num_partitions
+        # the key→part mapping the PARENT chains were written with —
+        # from the manifest, never the reader's config (an engine may
+        # have repartitioned the table since this reader was built)
+        parent_m = (
+            load_epoch(eng.table_root, m.parent_epoch)
+            if m.parent_epoch is not None
+            else m
+        )
+        P = parent_m.num_partitions or eng.cfg.num_partitions
         group_col, sum_col = self.group_col, self.sum_col
         table_root = eng.table_root
 

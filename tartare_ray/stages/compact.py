@@ -203,9 +203,19 @@ def lookup_keys_in_chain(
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     keys = pc.unique(keys)
+    # doc_id is required internally (hit filter + per-key resolution);
+    # honor a projection without it by dropping it again at the end
+    drop_key = "doc_id" not in columns
+    if drop_key:
+        columns = ["doc_id", *columns]
     pruned_schema = pa.schema([f for f in snapshot_schema if f.name in set(columns)])
     if len(keys) == 0 or not chain:
-        return pruned_schema.empty_table()
+        out_schema = (
+            pa.schema([f for f in pruned_schema if f.name != "doc_id"])
+            if drop_key
+            else pruned_schema
+        )
+        return out_schema.empty_table()
 
     by_epoch: dict[int, list[dict]] = defaultdict(list)
     for e in chain:
@@ -259,9 +269,8 @@ def lookup_keys_in_chain(
         )
         if len(unresolved) == 0:
             break
-    if not out:
-        return pruned_schema.empty_table()
-    return pa.concat_tables(out)
+    result = pa.concat_tables(out) if out else pruned_schema.empty_table()
+    return result.drop_columns(["doc_id"]) if drop_key else result
 
 
 class PartitionMergeReader:

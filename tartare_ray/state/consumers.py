@@ -41,27 +41,32 @@ def _cpath(table_root: str, consumer_id: str) -> str:
 
 
 def _atomic_write(path: str, payload: str) -> None:
-    tmp = path + ".inprogress"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from .manifest import _atomic_write as aw
+
+    aw(path, payload)
 
 
 def subscribe(table_root: str, consumer_id: str, from_epoch: int = 0) -> dict:
     """Register a consumer at ``from_epoch`` (epochs > from_epoch will
     be delivered; 0 = from the beginning).  Existing registrations are
     returned unchanged — subscribe is idempotent and never moves a
-    live cursor backward."""
+    live cursor backward.  Takes the writer lock: registration must
+    not race an in-flight ``gc_epochs`` (which reads the retention
+    floor under the same lock), or the new consumer's early epochs
+    could be collected out from under its first ``consume``.
+    Epochs GC'd BEFORE registration are gone for good — a consumer of
+    an aged table starts at the retained history."""
+    from .lock import WriterLock
+
     path = _cpath(table_root, consumer_id)
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    os.makedirs(_cdir(table_root), exist_ok=True)
-    state = {"consumer_id": consumer_id, "acked_epoch": int(from_epoch)}
-    _atomic_write(path, json.dumps(state))
-    return state
+    with WriterLock(table_root):
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        os.makedirs(_cdir(table_root), exist_ok=True)
+        state = {"consumer_id": consumer_id, "acked_epoch": int(from_epoch)}
+        _atomic_write(path, json.dumps(state))
+        return state
 
 
 def load_cursor(table_root: str, consumer_id: str) -> int | None:
@@ -76,17 +81,23 @@ def load_cursor(table_root: str, consumer_id: str) -> int | None:
 def ack(table_root: str, consumer_id: str, epoch: int) -> int:
     """Advance the cursor to ``epoch``.  Monotone: acking at or below
     the current cursor is a no-op (a retried consumer never regresses
-    the offset).  Returns the cursor after the call."""
-    cur = load_cursor(table_root, consumer_id)
-    if cur is None:
-        raise LookupError(f"consumer {consumer_id!r} is not subscribed")
-    if epoch <= cur:
-        return cur
-    _atomic_write(
-        _cpath(table_root, consumer_id),
-        json.dumps({"consumer_id": consumer_id, "acked_epoch": int(epoch)}),
-    )
-    return int(epoch)
+    the offset).  Read-modify-write runs under the writer lock so a
+    zombie consumer's late ack cannot interleave with (and undo) a
+    replacement consumer's newer one.  Returns the cursor after the
+    call."""
+    from .lock import WriterLock
+
+    with WriterLock(table_root):
+        cur = load_cursor(table_root, consumer_id)
+        if cur is None:
+            raise LookupError(f"consumer {consumer_id!r} is not subscribed")
+        if epoch <= cur:
+            return cur
+        _atomic_write(
+            _cpath(table_root, consumer_id),
+            json.dumps({"consumer_id": consumer_id, "acked_epoch": int(epoch)}),
+        )
+        return int(epoch)
 
 
 def drop_consumer(table_root: str, consumer_id: str) -> bool:

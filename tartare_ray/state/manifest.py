@@ -217,13 +217,35 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
             if name.endswith(".parquet") and rel not in live:
                 os.remove(os.path.join(data, name))
                 removed += 1
+    import shutil
+
     for e in epochs:
         if e not in keep:
             os.remove(_manifest_path(table_root, e))
             met = os.path.join(table_root, "_metrics", f"e{e:06d}.json")
             if os.path.exists(met):
                 os.remove(met)
+            # dead-letter parquet of a dropped epoch can never be
+            # requeued (requeue needs the epoch retained) — reclaim it
+            q = os.path.join(table_root, "_quarantine", f"e{e:06d}")
+            if os.path.isdir(q):
+                shutil.rmtree(q)
     return removed
+
+
+def load_generation(table_root: str) -> int:
+    """Rollback generation: 0 for a table that never rolled back,
+    +1 per ``rollback_to``.  Re-committed epochs after a rollback can
+    be byte-identical in lineage to the discarded ones (deterministic
+    file names, same rows/LSN ranges when only values changed), so
+    consumers caching per-epoch artifacts key them by (epoch,
+    generation) — the generation bump is what invalidates redelivered
+    epochs' caches."""
+    p = os.path.join(table_root, "_manifests", "GENERATION")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
 
 
 def rollback_to(table_root: str, epoch: int) -> dict:
@@ -254,6 +276,13 @@ def rollback_to(table_root: str, epoch: int) -> dict:
                 f"epoch {epoch} is not a committed, retained epoch of {table_root!r}"
             )
         drop = [e for e in epochs if e > epoch]
+        # 0. bump the rollback generation FIRST: once visible, every
+        # consumer-side cache of a redelivered epoch is invalid even
+        # if the re-committed lineage looks identical (load_generation)
+        _atomic_write(
+            os.path.join(table_root, "_manifests", "GENERATION"),
+            str(load_generation(table_root) + 1),
+        )
         # 1. the atomic point of no return
         _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(epoch))
         # 2. liveness: files any KEPT manifest references stay
@@ -334,6 +363,12 @@ def gc_log(table_root: str, log_dir) -> int:
         for e in epochs:
             m = load_epoch(table_root, e)
             touched = [pl for pl in m.partitions if pl.epoch == e]
+            if not touched and m.partitions:
+                # pre-epoch-field manifest (lineage epoch defaults to
+                # 0): can't tell what this epoch wrote — keep its whole
+                # referenced range (conservative, never deletes needed log)
+                floors.append(min(pl.lsn_lo for pl in m.partitions))
+                continue
             if touched and all(pl.kind == "delta" for pl in touched):
                 continue  # feed served delta-direct
             applied = [pl.lsn_lo for pl in touched if pl.events_applied]
@@ -351,12 +386,18 @@ def gc_log(table_root: str, log_dir) -> int:
 
 
 def gc_orphans(table_root: str) -> int:
-    """Remove in-progress tmp part files left by a crashed epoch."""
-    data = os.path.join(table_root, "data")
+    """Remove in-progress tmp files left by a crashed writer — data
+    parts plus manifest/consumer-cursor atomic-write leftovers."""
     n = 0
-    if os.path.isdir(data):
-        for name in os.listdir(data):
-            if name.endswith(".inprogress"):
-                os.remove(os.path.join(data, name))
-                n += 1
+    for sub, suffix in (
+        ("data", ".inprogress"),
+        ("_manifests", ".tmp"),
+        ("_consumers", ".tmp"),
+    ):
+        d = os.path.join(table_root, sub)
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.endswith(suffix):
+                    os.remove(os.path.join(d, name))
+                    n += 1
     return n

@@ -250,3 +250,14 @@ def test_lookup_mixed_format_chain(tmp_path):
         {"doc_id": "doc-000123", "source": "s", "n_tok": 123},
     ]
     assert "doc_hash" not in got.schema.names
+
+
+def test_lookup_without_doc_id_in_projection(chain_dir):
+    """doc_id is an internal requirement, not a caller contract: a
+    projection omitting it must work and not leak the key column."""
+    root, chain = chain_dir
+    got = lookup_keys_in_chain(root, chain, SCHEMA, pa.array(["d"]), ["n_tok"])
+    assert got.schema.names == ["n_tok"]
+    assert got.to_pylist() == [{"n_tok": 40}]
+    empty = lookup_keys_in_chain(root, chain, SCHEMA, pa.array([]), ["n_tok"])
+    assert empty.schema.names == ["n_tok"] and len(empty) == 0

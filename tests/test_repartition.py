@@ -110,3 +110,51 @@ def test_repartition_cli(ray_session, tmp_path):
     m = load_current(eng.table_root)
     assert m.num_partitions == 2 and len({pl.p for pl in m.partitions}) <= 2
     assert out["rows"] == sum(pl.rows for pl in m.partitions)
+
+
+def test_view_correct_across_repartition_with_stale_config(ray_session, tmp_path):
+    """A view whose engine handle still carries the OLD partition
+    count must read retraction chains with the manifest's count after
+    an online migration (the manifest, not the config, owns the
+    key->part mapping)."""
+    import shutil
+
+    from tartare_ray.oracle import replay_oracle
+    from tartare_ray.pipelines.views import IncrementalAggView
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging, GenConfig(n_events=6000, n_docs=300, events_per_file=2000)
+    )
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    for f in res.files[:2]:
+        shutil.copy(f, log)
+    eng = CdcEngine(
+        log,
+        str(tmp_path / "t"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    eng.replay()
+    view = IncrementalAggView(eng, "by_source", "source", "n_tok")
+    view.update_to()
+
+    assert eng.repartition_table(8) is not None
+    shutil.copy(res.files[2], log)  # one more epoch AFTER the migration
+    eng.replay()
+
+    # eng.cfg still says 4; the chains are keyed by 8 — the view must
+    # use the manifest count for its retraction lookups
+    state = view.update_to()
+    want = replay_oracle(res.files)
+    import collections
+
+    exp_cnt: dict = collections.defaultdict(int)
+    exp_sum: dict = collections.defaultdict(float)
+    for s, n in zip(want["source"].to_pylist(), want["n_tok"].to_pylist()):
+        exp_cnt[str(s)] += 1
+        exp_sum[str(s)] += n
+    assert {k: int(v[0]) for k, v in state.items()} == dict(exp_cnt)
+    assert {k: round(v[1], 6) for k, v in state.items()} == {
+        k: round(v, 6) for k, v in exp_sum.items()
+    }

@@ -89,3 +89,54 @@ def test_cdc_replica_sync_query_matches_source(ray_session):
     a = src[cols].sort_values(by=cols, ignore_index=True)
     b = rep[cols].sort_values(by=cols, ignore_index=True)
     assert a.equals(b) and len(a) > 0
+
+
+def test_replica_follows_source_rollback(ray_session, tmp_path):
+    """A source rollback + changed-log replay re-commits epochs under
+    the same numbers; the replica must detect the divergence (feed
+    identity markers), roll itself back, and converge on the corrected
+    history instead of silently keeping discarded data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = str(tmp_path / "staging")
+    res = generate_log(
+        staging, GenConfig(n_events=6000, n_docs=300, events_per_file=2000)
+    )
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    for f in res.files:
+        shutil.copy(f, log)
+    src = CdcEngine(
+        log,
+        str(tmp_path / "src"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    src.replay()
+    dest_work = str(tmp_path / "replica")
+    dest = sync_replica(src, dest_work)
+    _assert_eq(dest.snapshot_table(), src.snapshot_table())
+
+    # incident: epochs 2-3 were bad — roll back, FIX the log (drop the
+    # last file, rewrite file 2 with shuffled values), replay
+    src.rollback(1)
+    third = sorted(
+        os.path.join(log, n) for n in os.listdir(log) if n.endswith(".parquet")
+    )
+    os.remove(third[2])  # the last wave is withdrawn entirely
+    t = pq.read_table(third[1])
+    fixed = t.set_column(
+        t.schema.get_field_index("source"),
+        "source",
+        pa.array(["fixed"] * len(t)),
+    )
+    pq.write_table(fixed, third[1])
+    src.replay()
+
+    dest = sync_replica(src, dest_work)
+    _assert_eq(dest.snapshot_table(), src.snapshot_table())
+    # the corrected rows really arrived
+    assert "fixed" in set(dest.snapshot_table()["source"].to_pylist())
+    # no feed dir beyond the source head survives
+    feeds = sorted(os.listdir(os.path.join(dest_work, "log")))
+    assert feeds == ["feed-e000001", "feed-e000002"]
