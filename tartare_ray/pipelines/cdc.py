@@ -46,6 +46,13 @@ from ..stages.apply import MergeApplier, SplitApplier
 from ..stages.validate import ValidatePartitionStage
 
 
+class SchemaConflictError(ValueError):
+    """A change-log file carries a schema the table cannot evolve to
+    (type change other than int widening / added column).  Raised at
+    plan time with the poison file named; epochs below it have already
+    committed, so fixing or removing the file resumes the tail."""
+
+
 @dataclass
 class EngineConfig:
     num_partitions: int = 32
@@ -347,6 +354,37 @@ class CdcEngine:
         )
         if not chosen:
             return None
+        # Poison-file guard: an INCOMPATIBLE schema change (producer
+        # bug — int→string etc.; widening/adding is always fine) must
+        # neither crash the whole plan nor silently lose events.
+        # Unify file-by-file in LSN order and truncate the epoch
+        # before the first incompatible file — everything below it
+        # commits normally, then the next epoch fails loudly on the
+        # poison file alone (the tail stays wedged there, visibly,
+        # until the file is fixed or removed).  Truncation also drops
+        # kept files whose LSN range straddles the poison file's start
+        # so the committed watermark never jumps over unapplied events.
+        acc = cur.schema if cur is not None else self.cfg.initial_schema
+        conflict = None
+        for i, f in enumerate(chosen):
+            try:
+                acc = unify_with_widening(
+                    [acc, payload_schema(pq.read_schema(f.path))]
+                )
+            except pa.ArrowTypeError as err:
+                conflict = (i, f, str(err))
+                break
+        if conflict is not None:
+            i, poison, why = conflict
+            safe = [f for f in chosen[:i] if f.max_lsn < poison.min_lsn]
+            if not safe:
+                raise SchemaConflictError(
+                    f"incompatible schema change in {poison.path}: {why} — "
+                    "fix or remove the file (int widening and added "
+                    "columns evolve automatically; type changes do not)"
+                )
+            chosen = safe
+        self._schema_conflict = conflict[1].path if conflict else None
         epoch = (cur.epoch + 1) if cur is not None else 1
         snap_schema, change_schema = self._epoch_schemas(cur, chosen)
         # Per-partition file chain in epoch order (cow: length ≤ 1).
@@ -571,6 +609,9 @@ class CdcEngine:
         phases["commit_s"] = round(time.perf_counter() - t_commit, 3)
         metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0, phases)
         metrics["quarantined_rows"] = self._quarantine_count(epoch)
+        if self._schema_conflict:
+            # epoch truncated before a poison file (operability signal)
+            metrics["schema_conflict_file"] = self._schema_conflict
         try:
             # per-operator execution profile (read/validate/shuffle/apply
             # wall + memory), the ds.stats() feedback loop persisted per

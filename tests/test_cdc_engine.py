@@ -657,3 +657,55 @@ def test_history_and_changes_between(ray_session, tmp_path):
     assert eng.changes_between(5999, 5999).count() == 0
     with pytest.raises(LookupError):
         eng.changes_between(100, 5999)
+
+
+def test_poison_schema_file_truncates_then_fails_loudly(ray_session, tmp_path):
+    """An incompatible schema change (tokens int->string) must not
+    crash the whole plan or skip events: epochs below the poison file
+    commit, the next epoch raises SchemaConflictError naming it, and
+    fixing the file resumes the tail."""
+    import pyarrow.parquet as pq
+
+    from tartare_ray.pipelines.cdc import SchemaConflictError
+
+    def wave(lo, n, tokens_type, tok):
+        return pa.table(
+            {
+                "lsn": pa.array(range(lo, lo + n), pa.int64()),
+                "op": ["I"] * n,
+                "doc_id": [f"d{lo + i}" for i in range(n)],
+                "tokens": pa.array([tok] * n, tokens_type),
+                "n_tok": pa.array([len(tok)] * n, pa.int32()),
+                "source": ["s"] * n,
+                "schema_version": pa.array([1] * n, pa.int32()),
+            }
+        )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(wave(0, 10, pa.list_(pa.int32()), [1, 2]), str(log / "f0.parquet"))
+    pq.write_table(
+        wave(10, 10, pa.list_(pa.string()), ["x", "y"]), str(log / "f1.parquet")
+    )  # POISON: list<string> tokens
+    pq.write_table(wave(20, 10, pa.list_(pa.int32()), [3]), str(log / "f2.parquet"))
+
+    eng = CdcEngine(str(log), str(tmp_path / "t"), EngineConfig(num_partitions=2))
+    m1 = eng.run_epoch()  # truncated before the poison file
+    assert m1.epoch == 1 and m1.watermark_lsn == 9
+    assert len(eng.snapshot_table()) == 10
+
+    with pytest.raises(SchemaConflictError) as ei:
+        eng.run_epoch()
+    assert "f1.parquet" in str(ei.value)
+
+    # operator fixes the poison file -> the tail resumes and catches up
+    fixed = wave(10, 10, pa.list_(pa.int32()), [9, 9])
+    pq.write_table(fixed, str(log / "f1.parquet"))
+    m = eng.replay()
+    assert m.watermark_lsn == 29
+    assert len(eng.snapshot_table()) == 30
+    # the truncation was surfaced in epoch-1 metrics
+    import json
+
+    met = json.load(open(os.path.join(eng.table_root, "_metrics", "e000001.json")))
+    assert met.get("schema_conflict_file", "").endswith("f1.parquet")
