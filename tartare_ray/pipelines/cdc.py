@@ -177,11 +177,16 @@ class CdcEngine:
         table_root: str,
         cfg: EngineConfig | None = None,
     ):
+        from dataclasses import replace
+
         # One dir, or many (N-source union over a shared global LSN
         # sequencer — sources/tail.py docstring for the cut invariant).
         self.log_dir = log_dir
         self.table_root = table_root
-        self.cfg = cfg or EngineConfig()
+        # private copy: the engine adopts the manifest's partition
+        # count into its config at apply time, which must not leak
+        # into other engines built from the same EngineConfig object
+        self.cfg = replace(cfg) if cfg is not None else EngineConfig()
         self._prefetch = None  # epoch-pipelined envelope (box dict)
 
     # -- schema planning (driver-side, metadata only) ----------------------
@@ -376,14 +381,32 @@ class CdcEngine:
                 break
         if conflict is not None:
             i, poison, why = conflict
-            safe = [f for f in chosen[:i] if f.max_lsn < poison.min_lsn]
-            if not safe:
+            # Fixpoint shrink: the committed watermark (max kept
+            # max_lsn) must stay BELOW every dropped file's min_lsn,
+            # or the dropped file's low rows would sit at/below the
+            # watermark and be skipped forever.  Dropping a straddler
+            # can lower the bound (multi-source interleaved ranges),
+            # so iterate until stable.
+            bound = poison.min_lsn
+            cand = list(chosen[:i])
+            changed = True
+            while changed:
+                changed = False
+                keep = []
+                for f in cand:
+                    if f.max_lsn < bound:
+                        keep.append(f)
+                    elif f.min_lsn < bound:
+                        bound = f.min_lsn
+                        changed = True
+                cand = keep
+            if not cand:
                 raise SchemaConflictError(
                     f"incompatible schema change in {poison.path}: {why} — "
                     "fix or remove the file (int widening and added "
                     "columns evolve automatically; type changes do not)"
                 )
-            chosen = safe
+            chosen = cand
         self._schema_conflict = conflict[1].path if conflict else None
         epoch = (cur.epoch + 1) if cur is not None else 1
         snap_schema, change_schema = self._epoch_schemas(cur, chosen)
@@ -790,7 +813,9 @@ class CdcEngine:
                 names = set(pq.read_schema(f).names)
                 key = tuple(c for c in want if c in names)
                 groups.setdefault(key, []).append(f)
-                complete[key] = all_names <= names
+                # pushdown is safe only if EVERY file in the group
+                # carries every snapshot column (AND, not overwrite)
+                complete[key] = complete.get(key, True) and all_names <= names
             parts = []
             for have, fs in groups.items():
                 push = predicate is not None and complete[have]
@@ -917,11 +942,14 @@ class CdcEngine:
         if not log_files:
             return ray.data.from_arrow(feed_schema.empty_table())
 
+        # the re-derived feed must reproduce EXACTLY what the epoch
+        # applied: the validity mask, the configured row-dropping
+        # ingest steps (tombstone-exempt, same as validate), and the
+        # content transforms — otherwise a cow-mode feed diverges from
+        # the committed table (delta-mode feeds are served post-step)
+        row_filters, xform_steps = self._split_ingest_steps()
+
         def in_range(b: pa.Table) -> pa.Table:
-            # same validity mask the validate stage applied when the
-            # epoch was committed — quarantined rows (malformed op,
-            # null doc_id/lsn) were never applied, so they must not
-            # enter the re-derived feed either
             from ..stages.validate import VALID_OPS
 
             ok = pc.and_(
@@ -932,11 +960,27 @@ class CdcEngine:
                 pc.fill_null(ok, False),
                 pc.and_(pc.greater(b["lsn"], prev_w), pc.less_equal(b["lsn"], hi)),
             )
-            return latest_per_key(conform(b.filter(keep), feed_schema), "doc_id", "lsn")
+            b = b.filter(keep)
+            for fn, kw in row_filters:
+                if len(b) == 0:
+                    break
+                is_del = pc.fill_null(pc.equal(b["op"], "D"), False)
+                dels = b.filter(is_del)
+                rest = b.filter(pc.invert(is_del))
+                rest = fn(rest, **kw) if kw else fn(rest)
+                b = pa.concat_tables([dels, rest]) if len(dels) else rest
+            return latest_per_key(conform(b, feed_schema), "doc_id", "lsn")
 
         ds = ray.data.read_parquet(log_files).map_batches(
             in_range, batch_format="pyarrow", zero_copy_batch=True
         )
+        if xform_steps:
+            from ..functions import builtin_steps  # noqa: F401 (register)
+            from ..functions.registry import StepSpec, build_pipeline
+
+            ds = build_pipeline(
+                ds, [StepSpec(name=n, kwargs=dict(kw)) for n, kw in xform_steps]
+            )
         return ds.groupby("doc_id").map_groups(
             lambda g: latest_per_key(g, "doc_id", "lsn"), batch_format="pyarrow"
         )
@@ -986,7 +1030,24 @@ class CdcEngine:
                 ).empty_table()
             )
         feeds = []
-        for e in list_committed_epochs(self.table_root):
+        retained = list_committed_epochs(self.table_root)
+        if retained:
+            first = load_epoch(self.table_root, retained[0])
+            if lo_lsn < first.watermark_lsn:
+                # the range needs the earliest retained epoch or older
+                # history — refuse incomplete answers (older feeds GC'd)
+                if first.parent_epoch is None:
+                    floor_w = -1
+                elif first.parent_watermark_lsn is not None:
+                    floor_w = first.parent_watermark_lsn
+                else:
+                    floor_w = None  # pre-field manifest, parent GC'd
+                if floor_w is None or lo_lsn < floor_w:
+                    raise LookupError(
+                        f"range ({lo_lsn}, {hi_lsn}] reaches below the earliest "
+                        f"retained epoch {retained[0]} — older feeds were GC'd"
+                    )
+        for e in retained:
             m = load_epoch(self.table_root, e)
             prev_w = m.parent_watermark_lsn
             if prev_w is None:
@@ -1164,12 +1225,15 @@ class CdcEngine:
         the fix left invalid simply quarantine again.
 
         LSN allocation requires owning the sequencer: run this with
-        the producer quiesced (or the range reserved) — a producer
-        concurrently emitting the same LSNs would collide.  The output
-        file name is deterministic per source epoch
-        (``requeue-e{E}.parquet``), so a retried requeue overwrites
-        itself; once a later epoch has consumed it, rewriting is
-        harmless (its LSNs sit at or below the new watermark).
+        the producer quiesced — fresh LSNs start ABOVE both the
+        committed watermark and every LSN already sitting in pending
+        log files (a quiesced producer may still have unapplied files
+        on disk), so requeued fixes never collide with or lose ties to
+        in-flight events.  The output file name is deterministic per
+        source epoch (``requeue-e{E}.parquet``), so a retried requeue
+        overwrites itself; once a later epoch has consumed it,
+        rewriting is harmless (its LSNs sit at or below the new
+        watermark).
         Quarantine sets are operationally small (they are REJECTS);
         the fold runs driver-side.  Returns the written path, or None
         when the epoch quarantined nothing."""
@@ -1191,7 +1255,12 @@ class CdcEngine:
             cur = load_current(self.table_root)
             if cur is None:
                 return None
-            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            # quarantine batches are written pre-conform in their
+            # source files' schemas, which vary under evolution —
+            # unify before concatenating
+            raw = [pq.read_table(f) for f in files]
+            uni = unify_with_widening([t.schema for t in raw])
+            tbl = pa.concat_tables([conform(t, uni) for t in raw])
             fixed = fix(tbl)
             n = len(fixed)
             if n == 0:
@@ -1199,9 +1268,11 @@ class CdcEngine:
             old = fixed["lsn"].to_numpy(zero_copy_only=False).astype("float64")
             order = np.argsort(np.where(np.isnan(old), np.inf, old), kind="stable")
             fixed = fixed.take(pa.array(order))
-            fresh = pa.array(
-                np.arange(cur.watermark_lsn + 1, cur.watermark_lsn + 1 + n), pa.int64()
-            )
+            # base above BOTH the watermark and any pending file's LSNs
+            base = cur.watermark_lsn
+            for f in list_log_files(self.log_dir):
+                base = max(base, f.max_lsn)
+            fresh = pa.array(np.arange(base + 1, base + 1 + n), pa.int64())
             fixed = fixed.set_column(
                 fixed.schema.get_field_index("lsn"), "lsn", fresh
             )

@@ -43,6 +43,11 @@ from ..stages.kernels import hash_partition_ids
 
 
 def _agg_contrib(groups: np.ndarray, sums: np.ndarray, sign: int) -> dict[str, list[float]]:
+    # null group values aggregate under their own key (np.unique on an
+    # object array mixing None and str raises on comparison)
+    groups = np.array(
+        ["\x00null" if g is None else g for g in groups], dtype=object
+    )
     out: dict[str, list[float]] = {}
     for g in np.unique(groups):
         m = groups == g
@@ -84,24 +89,16 @@ class IncrementalAggView:
     def _epoch_delta(self, epoch: int) -> dict[str, list[float]]:
         eng = self.engine
         m = load_epoch(eng.table_root, epoch)
-        parent_chains = (
-            eng._chains(load_epoch(eng.table_root, m.parent_epoch))
-            if m.parent_epoch is not None
-            else {}
-        )
-        parent_schema = (
-            load_epoch(eng.table_root, m.parent_epoch).schema
-            if m.parent_epoch is not None
-            else m.schema
-        )
-        # the key→part mapping the PARENT chains were written with —
-        # from the manifest, never the reader's config (an engine may
-        # have repartitioned the table since this reader was built)
         parent_m = (
             load_epoch(eng.table_root, m.parent_epoch)
             if m.parent_epoch is not None
             else m
         )
+        parent_chains = eng._chains(parent_m) if m.parent_epoch is not None else {}
+        parent_schema = parent_m.schema
+        # the key→part mapping the PARENT chains were written with —
+        # from the manifest, never the reader's config (an engine may
+        # have repartitioned the table since this reader was built)
         P = parent_m.num_partitions or eng.cfg.num_partitions
         group_col, sum_col = self.group_col, self.sum_col
         table_root = eng.table_root
@@ -178,6 +175,8 @@ class IncrementalAggView:
         (default: CURRENT); returns the view state
         ``{group: [count, sum]}``."""
         cur = load_current(self.engine.table_root)
+        if cur is None and epoch is None:
+            return {}  # nothing committed yet: the empty view
         target = cur.epoch if epoch is None else epoch
         have, state = self._load_latest(target)
         for e in range(have + 1, target + 1):

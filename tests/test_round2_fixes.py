@@ -224,3 +224,139 @@ def test_publish_replaces_stale_same_size_file(ray_session, tmp_path):
     assert m2.epoch == load_current(root).epoch
     for pl in m2.partitions:
         pq.read_table(os.path.join(dest, pl.file))
+
+
+# --- review-pass regressions (round 2, second audit) ------------------------
+
+
+def test_poison_straddler_does_not_skip_events(ray_session, tmp_path):
+    """Multi-source logs: truncating at a poison file must also drop
+    straddling files AND lower the watermark below them, so no event
+    is ever jumped over."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tartare_ray.oracle import replay_oracle
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig, SchemaConflictError
+
+    def wave(lsns, ttype=pa.list_(pa.int32()), tok=(1,)):
+        n = len(lsns)
+        return pa.table(
+            {
+                "lsn": pa.array(lsns, pa.int64()),
+                "op": ["I"] * n,
+                "doc_id": [f"d{i}" for i in lsns],
+                "tokens": pa.array([list(tok)] * n, ttype),
+                "n_tok": pa.array([len(tok)] * n, pa.int32()),
+                "source": ["s"] * n,
+                "schema_version": pa.array([1] * n, pa.int32()),
+            }
+        )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(wave(range(0, 60)), str(log / "a.parquet"))
+    pq.write_table(wave(range(60, 130)), str(log / "b.parquet"))  # straddles poison
+    pq.write_table(
+        wave(range(120, 160), ttype=pa.list_(pa.string()), tok=("x",)),
+        str(log / "c.parquet"),
+    )  # POISON overlapping b's range
+    eng = CdcEngine(str(log), str(tmp_path / "t"), EngineConfig(num_partitions=2))
+    m1 = eng.run_epoch()
+    # only file a is safely below the straddler: watermark 59, not 129
+    assert m1.watermark_lsn == 59
+    with pytest.raises(SchemaConflictError):
+        eng.run_epoch()
+    # fix the poison -> replay applies b AND c with nothing lost
+    pq.write_table(wave(range(120, 160)), str(log / "c.parquet"))
+    eng.replay()
+    snap = eng.snapshot_table()
+    assert len(snap) == 160
+    want = replay_oracle([str(log / n) for n in ("a.parquet", "b.parquet", "c.parquet")])
+    assert snap.sort_by("doc_id").to_pylist() == want.sort_by("doc_id").to_pylist()
+
+
+def test_cow_feed_applies_ingest_transforms(ray_session, tmp_path):
+    """changes_dataset's cow re-derivation must reproduce configured
+    ingest transforms, or the feed diverges from the committed table."""
+    import pyarrow.compute as pc
+
+    from tartare_ray.gen import GenConfig, generate_log
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+
+    generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=2000, n_docs=200, max_len=40)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"),
+        str(tmp_path / "t"),
+        EngineConfig(
+            num_partitions=2,
+            ingest_steps=(("truncate_tokens", {"max_len": 8}),),
+        ),  # cow mode: the feed re-derives from the raw log
+    )
+    m = eng.replay()
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(
+        eng.changes_dataset(m.epoch).iter_batches(batch_format="pyarrow")
+    )
+    live = tbl.filter(pc.invert(pc.equal(tbl["op"], "D")))
+    assert pc.max(pc.list_value_length(live["tokens"])).as_py() <= 8
+    assert pc.max(live["n_tok"]).as_py() <= 8
+
+
+def test_changes_between_refuses_gcd_history(ray_session, tmp_path):
+    from tartare_ray.gen import GenConfig, generate_log
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+    from tartare_ray.state.manifest import gc_epochs
+
+    generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=6000, n_docs=300, events_per_file=2000)
+    )
+    eng = CdcEngine(
+        str(tmp_path / "log"),
+        str(tmp_path / "t"),
+        EngineConfig(num_partitions=2, write_mode="delta", epoch_max_files=1),
+    )
+    eng.replay()
+    gc_epochs(eng.table_root, keep_last=1)
+    with pytest.raises(LookupError):
+        eng.changes_between(-1, 5999)
+    # range fully inside the retained epoch still serves
+    assert eng.changes_between(3999, 5999).count() > 0
+
+
+def test_engine_config_not_mutated_across_engines(ray_session, tmp_path):
+    from tartare_ray.gen import GenConfig, generate_log
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+
+    generate_log(str(tmp_path / "log"), GenConfig(n_events=1000, n_docs=100))
+    shared = EngineConfig(num_partitions=2)
+    a = CdcEngine(str(tmp_path / "log"), str(tmp_path / "ta"), shared)
+    a.replay()
+    a.repartition_table(4)
+    a.replay()  # adopts 4 into a's private config
+    assert shared.num_partitions == 2  # the caller's object is untouched
+    b = CdcEngine(str(tmp_path / "log"), str(tmp_path / "tb"), shared)
+    b.replay()
+    from tartare_ray.state.manifest import load_current
+
+    assert load_current(b.table_root).num_partitions == 2
+
+
+def test_view_handles_null_groups_and_empty_table(ray_session, tmp_path):
+    import numpy as np
+
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+    from tartare_ray.pipelines.views import IncrementalAggView, _agg_contrib
+
+    out = _agg_contrib(
+        np.array(["a", None, "a"], dtype=object), np.array([1.0, 2.0, 3.0]), 1
+    )
+    assert out["a"] == [2, 4.0] and out["\x00null"] == [1, 2.0]
+    eng = CdcEngine(
+        str(tmp_path / "nolog"), str(tmp_path / "t"), EngineConfig(num_partitions=2)
+    )
+    view = IncrementalAggView(eng, "v", "source", "n_tok")
+    assert view.update_to() == {}
