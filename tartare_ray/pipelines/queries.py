@@ -134,9 +134,10 @@ def hash_join(sf_dir: str) -> ray.data.Dataset:
         zero_copy_batch=True,
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-    # partition count sized by the scan bytes (not raw CPU count): a
-    # small join with CPU-many aggregator actors is all startup cost
-    n_parts = _size_parts(_read(sf_dir, "orders"), cust)
+    # partition count sized by the ACTUAL join input (pruned +
+    # filtered), not a raw full-width rescan: a small join with
+    # CPU-many aggregator actors is all startup cost
+    n_parts = _size_parts(orders, cust)
     j = orders.join(
         cust,
         join_type="inner",
@@ -629,13 +630,13 @@ def rolling_window(sf_dir: str, window: int = 3) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
-def anti_join(sf_dir: str) -> ray.data.Dataset:
-    """Anti-join via broadcast small side (SURVEY.md §2A J4): distinct
-    order custkeys are collected once and shipped through the object
-    store (``ray.put``), each customer batch drops members with a sorted
-    ``np.isin`` — no shuffle of the big side.  When the key set outgrows
-    a broadcast (~GBs), flip to the co-partitioned groupby path the
-    time-joins use."""
+def _key_membership_join(sf_dir: str, keep_members: bool) -> ray.data.Dataset:
+    """Shared semi/anti machinery (SURVEY.md §2A J4): distinct order
+    custkeys are collected once and shipped through the object store
+    (``ray.put``), each customer batch tests membership with a sorted
+    ``np.isin`` — no shuffle of the big side.  When the key set
+    outgrows a broadcast (~GBs), flip to the co-partitioned groupby
+    path the time-joins use."""
     big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"]),
         batch_format="pyarrow",
@@ -647,11 +648,17 @@ def anti_join(sf_dir: str) -> ray.data.Dataset:
     def fn(b: pa.Table) -> pa.Table:
         k = ray.get(keys_ref)  # node-local after first fetch
         present = np.isin(b["c_custkey"].combine_chunks().to_numpy(), k, kind="sort")
-        return b.filter(pa.array(~present))
+        return b.filter(pa.array(present if keep_members else ~present))
 
     return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join: customers WITHOUT a qualifying order (broadcast
+    key-set membership, negated)."""
+    return _key_membership_join(sf_dir, keep_members=False)
 
 
 def count_distinct(sf_dir: str) -> ray.data.Dataset:
@@ -760,7 +767,13 @@ def grouped_corr(sf_dir: str) -> ray.data.Dataset:
         cov = pc.subtract(pc.multiply(n, b["sxy"]), pc.multiply(b["sx"], b["sy"]))
         vx = pc.subtract(pc.multiply(n, b["sxx"]), pc.multiply(b["sx"], b["sx"]))
         vy = pc.subtract(pc.multiply(n, b["syy"]), pc.multiply(b["sy"], b["sy"]))
-        corr = pc.divide(cov, pc.sqrt(pc.multiply(vx, vy)))
+        denom2 = pc.multiply(vx, vy)
+        # zero-variance group: SQL corr() is NULL, not inf/NaN
+        corr = pc.if_else(
+            pc.greater(denom2, 0.0),
+            pc.divide(cov, pc.sqrt(pc.max_element_wise(denom2, 1e-300))),
+            pa.scalar(None, pa.float64()),
+        )
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
@@ -781,12 +794,14 @@ def _user_set_op(sf_dir: str, op: str) -> ray.data.Dataset:
     with any value > 300 event (except) / any purchase (intersect)."""
 
     def pre(b: pa.Table) -> pa.Table:
-        in_a = pc.greater(b["value"], 250.0)
+        # null-proof: a NULL value must read as "not a member", not
+        # poison the row's OTHER side (Kleene or; fill_null both flags)
+        in_a = pc.fill_null(pc.greater(b["value"], 250.0), False)
         if op == "except":
-            in_b = pc.greater(b["value"], 300.0)
+            in_b = pc.fill_null(pc.greater(b["value"], 300.0), False)
         else:
-            in_b = pc.equal(b["event_type"], "purchase")
-        either = pc.or_(in_a, in_b)
+            in_b = pc.fill_null(pc.equal(b["event_type"], "purchase"), False)
+        either = pc.or_kleene(in_a, in_b)
         t = pa.table(
             {
                 "user_id": b["user_id"],
@@ -1119,6 +1134,13 @@ def _join_side(sigs: ray.data.Dataset, key: str, sig: str, *, is_list: bool) -> 
 _BROADCAST_SIG_BYTES = 256 << 20
 
 
+# Per-worker-process memo for the broadcast attach: the id→row index
+# over the signature table is built once per (object ref) per worker
+# instead of once per batch.  Single-entry (cleared on a new ref) so
+# worker heap holds at most one signature index.
+_ATTACH_CACHE: dict = {}
+
+
 def _attach_sigs(
     pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
@@ -1126,6 +1148,7 @@ def _attach_sigs(
     is_list: bool,
     a: str = "sig_a",
     b: str = "sig_b",
+    pairs_normed: bool = False,
 ) -> ray.data.Dataset:
     """Verification join: candidate (doc_a, doc_b) pairs get their
     signatures attached.  Adaptive by the signature side's size:
@@ -1156,9 +1179,17 @@ def _attach_sigs(
             def attach(batch: pa.Table, ref=ref, a=a, b=b) -> pa.Table:
                 import pandas as pd
 
-                t = ray.get(ref)  # zero-copy shared-memory read
-                idx = pd.Index(t["doc_id"].to_numpy(zero_copy_only=False))
-                sig = t["sig"].combine_chunks()
+                key = ref.hex()
+                cached = _ATTACH_CACHE.get(key)
+                if cached is None:
+                    t = ray.get(ref)  # zero-copy shared-memory read
+                    cached = (
+                        pd.Index(t["doc_id"].to_numpy(zero_copy_only=False)),
+                        t["sig"].combine_chunks(),
+                    )
+                    _ATTACH_CACHE.clear()
+                    _ATTACH_CACHE[key] = cached
+                idx, sig = cached
                 ia = idx.get_indexer(batch["doc_a"].to_numpy(zero_copy_only=False))
                 ib = idx.get_indexer(batch["doc_b"].to_numpy(zero_copy_only=False))
                 keep = (ia >= 0) & (ib >= 0)
@@ -1169,7 +1200,8 @@ def _attach_sigs(
             return pairs.map_batches(
                 attach, batch_format="pyarrow", zero_copy_batch=True
             )
-    pairs = _pairs_norm(pairs)
+    if not pairs_normed:
+        pairs = _pairs_norm(pairs)
     nparts = _size_parts(pairs, sigs)
     j = pairs.join(
         _join_side(sigs, "a_id", a, is_list=is_list),
@@ -1237,21 +1269,29 @@ def decontaminate(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     stays a single pruned pass; the eval side is benchmarks (MBs).
     Rows-only: shingle semantics aren't SQL-expressible (exactness
     pinned in pytest on planted contamination)."""
-    raw = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    def eval_pre(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 25 == 0))
+
+    # the eval side streams through the cluster and only the 4% subset
+    # (the benchmark — MBs even for real suites) reaches the driver
+    eval_tbl = pa.concat_tables(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(eval_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
     )
-    mask = raw["doc_id"].to_numpy() % 25 == 0
-    eval_tbl = raw.filter(pa.array(mask))
-    eval_ids = set(eval_tbl["doc_id"].to_pylist())
-    eval_ref = ray.put(D.eval_shingles(eval_tbl["text"], k=k))
+    eval_ids = np.sort(eval_tbl["doc_id"].to_numpy(zero_copy_only=False))
+    eval_ref = ray.put((D.eval_shingles(eval_tbl["text"], k=k), eval_ids))
 
     def check(b: pa.Table, k=k) -> pa.Table:
-        sh = ray.get(eval_ref)  # zero-copy shared-memory read
+        sh, ids = ray.get(eval_ref)  # zero-copy shared-memory read
         out = D.contamination_batch(b, sh, k=k)
         # the eval docs themselves trivially overlap — report only
-        # the training-side contamination
-        keep = [i not in eval_ids for i in out["doc_id"].to_pylist()]
-        return out.filter(pa.array(keep))
+        # the training-side contamination (vectorized membership)
+        is_eval = np.isin(
+            out["doc_id"].to_numpy(zero_copy_only=False), ids, kind="sort"
+        )
+        return out.filter(pa.array(~is_eval))
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         check, batch_format="pyarrow", zero_copy_batch=True
@@ -1291,7 +1331,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset
         zero_copy_batch=True,
         concurrency=_conc(),
     ).materialize()
-    joined = _attach_sigs(pairs, shingles, is_list=False, a="sh_a", b="sh_b")
+    joined = _attach_sigs(pairs, shingles, is_list=False, a="sh_a", b="sh_b", pairs_normed=True)
     return joined.map_batches(
         lambda b: D.verify_jaccard_pairs_batch(b, threshold=threshold),
         batch_format="pyarrow",
@@ -1604,26 +1644,9 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
 
 
 def semi_join(sf_dir: str) -> ray.data.Dataset:
-    """Semi-join (SURVEY.md §2A J4): keep customers WITH a qualifying
-    order — the same broadcast key-set shape as ``anti_join`` (distinct
-    keys via ``ray.put``, sorted ``np.isin`` per batch, no shuffle of
-    the big side), mask un-negated."""
-    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(["o_custkey"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    keys = np.array(sorted(big.unique("o_custkey")), dtype=np.int64)
-    keys_ref = ray.put(keys)
-
-    def fn(b: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)  # node-local after first fetch
-        present = np.isin(b["c_custkey"].combine_chunks().to_numpy(), k, kind="sort")
-        return b.filter(pa.array(present))
-
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True
-    )
+    """Semi-join: customers WITH a qualifying order (broadcast key-set
+    membership)."""
+    return _key_membership_join(sf_dir, keep_members=True)
 
 
 def left_outer_join(sf_dir: str) -> ray.data.Dataset:
@@ -2136,8 +2159,8 @@ ORACLE_SQL = {
     "conditional_agg": """
         SELECT event_type,
                count(*) FILTER (WHERE value > 100.0) AS n_big,
-               CAST(round(sum(value) FILTER (WHERE value <= 100.0) * 100, 0) AS BIGINT)
-                   AS sum_small_cents
+               CAST(round(coalesce(sum(value) FILTER (WHERE value <= 100.0), 0) * 100, 0)
+                   AS BIGINT) AS sum_small_cents
         FROM events GROUP BY event_type
     """,
     "token_count": """
@@ -2175,8 +2198,12 @@ ORACLE_SQL = {
         ) WHERE n_words >= 8 AND n_chars <= 1200 AND n_stopwords * 10 >= n_words
     """,
     "exact_dedup": """
+        -- trim the same ASCII whitespace set the engine's
+        -- utf8_trim_whitespace removes (plain trim() strips spaces only,
+        -- diverging on tab/newline-flanked text)
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        FROM documents GROUP BY lower(trim(text))
+        FROM documents
+        GROUP BY lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10)

@@ -305,8 +305,12 @@ def build_ivf_index(ds, index_dir: str, centroids: np.ndarray, concurrency=None)
     + ``centroids.npy``.  Returns {cell: rows} written."""
     import os
 
+    import shutil
+
+    # a fresh build owns the dir: leftovers of an interrupted build
+    # would otherwise double-count rows next to the new cell files
+    shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
-    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     cref = ray.put(centroids)
     if not concurrency:  # callable-class stages require a pool size
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
@@ -317,6 +321,10 @@ def build_ivf_index(ds, index_dir: str, centroids: np.ndarray, concurrency=None)
     out: dict[int, int] = {}
     for r in lineage:
         out[int(r["cell"])] = out.get(int(r["cell"]), 0) + int(r["rows"])
+    # completeness marker LAST: probes treat the index as built only
+    # once centroids.npy exists, so a build killed mid-pass (cell dirs
+    # partially written) is rebuilt, never silently probed
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     return out
 
 
