@@ -876,6 +876,39 @@ def conditional_agg(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def weighted_avg(sf_dir: str) -> ray.data.Dataset:
+    """Discount-weighted average price per return flag: two associative
+    partial sums (Σw·x, Σw) per batch, one tiny groupby, one division —
+    the canonical weighted-mean combiner."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "wx": pc.multiply(b["l_extendedprice"], b["l_discount"]),
+                "w": b["l_discount"],
+            }
+        )
+        return t.group_by("l_returnflag").aggregate([("wx", "sum"), ("w", "sum")])
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("wx_sum", alias_name="swx"), Sum("w_sum", alias_name="sw"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        wavg = pc.if_else(
+            pc.greater(b["sw"], 0.0),
+            pc.round(pc.divide(b["swx"], b["sw"]), ndigits=4),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table({"l_returnflag": b["l_returnflag"], "weighted_avg_price": wavg})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def ntile_quartiles(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """NTILE(k) per event_type ordered by (value, event_id): one key
     shuffle, then vectorized bucket assignment per group replicating
@@ -1877,6 +1910,7 @@ QUERIES = {
     "set_intersect": set_intersect,
     "set_except": set_except,
     "conditional_agg": conditional_agg,
+    "weighted_avg": weighted_avg,
     "token_count": token_count,
     "doc_repetition": doc_repetition,
     "bpe_token_count": bpe_token_count,
@@ -2135,6 +2169,12 @@ ORACLE_SQL = {
         SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY user_id
+    """,
+    "weighted_avg": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_discount) / sum(l_discount), 4)
+                   AS weighted_avg_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     "ntile_quartiles": """
         SELECT event_type, event_id,

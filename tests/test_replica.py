@@ -140,3 +140,23 @@ def test_replica_follows_source_rollback(ray_session, tmp_path):
     # no feed dir beyond the source head survives
     feeds = sorted(os.listdir(os.path.join(dest_work, "log")))
     assert feeds == ["feed-e000001", "feed-e000002"]
+
+
+def test_replica_of_replica_chains(ray_session, tmp_path):
+    """The replica is an ordinary engine, so a second-level replica
+    syncs from the first's change feed — multi-hop distribution by
+    composition."""
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=4000, n_docs=300, events_per_file=2000),
+    )
+    src = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "src"),
+        EngineConfig(num_partitions=4, write_mode="delta", epoch_max_files=1),
+    )
+    src.replay()
+    hop1 = sync_replica(src, str(tmp_path / "r1"))
+    hop2 = sync_replica(hop1, str(tmp_path / "r2"))
+    _assert_eq(hop2.snapshot_table(), src.snapshot_table())
+    _assert_eq(hop2.snapshot_table(), replay_oracle(res.files))
