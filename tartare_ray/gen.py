@@ -93,10 +93,9 @@ def _token_list_array(
         value_arr,
     ).cast(list_type)
     if null_mask.any():
-        # null-out delete rows (take with null indices yields nulls)
-        idx = np.arange(n, dtype=np.int64).astype(object)
-        idx[null_mask] = None
-        arr = arr.take(pa.array(idx.tolist(), type=pa.int64()))
+        # null-out delete rows (take with null indices yields nulls;
+        # mask= keeps this fully vectorized — no object/tolist churn)
+        arr = arr.take(pa.array(np.arange(n, dtype=np.int64), mask=null_mask))
     return arr, lengths
 
 
@@ -107,6 +106,8 @@ def generate_log(log_dir: str, cfg: GenConfig) -> GenResult:
     file) is reused — bench runs at two parallelism levels share one
     input.
     """
+    if cfg.n_events <= 0:
+        raise ValueError(f"n_events must be positive, got {cfg.n_events}")
     os.makedirs(log_dir, exist_ok=True)
     marker = os.path.join(log_dir, "_COMPLETE")
     expected = [
@@ -145,9 +146,7 @@ def generate_log(log_dir: str, cfg: GenConfig) -> GenResult:
             np.where(is_d, 0, lengths).astype(np.int32), type=pa.int32()
         )
         if is_d.any():
-            idx = np.arange(n, dtype=np.int64).astype(object)
-            idx[is_d] = None
-            take_idx = pa.array(idx.tolist(), type=pa.int64())
+            take_idx = pa.array(np.arange(n, dtype=np.int64), mask=is_d)
             n_tok = n_tok.take(take_idx)
             source = pa.array(src_pool[rng.integers(0, cfg.n_sources, n)]).take(take_idx)
         else:

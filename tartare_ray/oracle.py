@@ -50,7 +50,16 @@ def replay_oracle(
             state[row["doc_id"]] = row
 
     payload_cols = [n for n in target.names]
-    for t in tables:
+    # GLOBAL LSN order, not per-file: multi-source logs interleave LSN
+    # ranges across files, and latest-LSN-wins is only correct folded
+    # over the total order (each table conformed to the union schema
+    # so the concat is well-typed under evolution)
+    merged = None
+    if tables:
+        envelope = [f for f in tables[0].schema if f.name in ENVELOPE_COLUMNS]
+        uni = pa.schema(envelope + list(target))
+        merged = pa.concat_tables([conform(t, uni) for t in tables])
+    for t in [merged] if merged is not None else []:
         t = t.combine_chunks()
         order = pc.sort_indices(t, sort_keys=[("lsn", "ascending")])
         t = t.take(order)

@@ -38,24 +38,38 @@ class LogFile:
 def _lsn_range(path: str) -> tuple[int, int, int, int]:
     f = pq.ParquetFile(path)
     md = f.metadata
-    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    # the PHYSICAL leaf index of lsn (nested columns flatten in the
+    # parquet schema, so the Arrow field index is wrong whenever a
+    # list/struct column precedes lsn) — resolve by path
+    idx = None
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == "lsn":
+                idx = i
+                break
+    if idx is None:
+        raise ValueError(f"log file {path!r} has no 'lsn' column")
     lo, hi, nbytes = None, None, 0
+    stats_ok = True
     for rg in range(md.num_row_groups):
         nbytes += md.row_group(rg).total_byte_size
+        if not stats_ok:
+            continue  # keep accumulating bytes for the epoch budget
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
-            # fall back to reading just the lsn column
-            import pyarrow.compute as pc
-
-            col = f.read(columns=["lsn"])["lsn"]
-            return (
-                pc.min(col).as_py(),
-                pc.max(col).as_py(),
-                md.num_rows,
-                nbytes,
-            )
+            stats_ok = False
+            continue
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
+    if not stats_ok:
+        # fall back to reading just the lsn column; nbytes already
+        # covers EVERY row group (an under-report would let plan_epoch
+        # pack a spill-inducing epoch)
+        import pyarrow.compute as pc
+
+        col = f.read(columns=["lsn"])["lsn"]
+        return pc.min(col).as_py(), pc.max(col).as_py(), md.num_rows, nbytes
     return int(lo), int(hi), md.num_rows, nbytes
 
 

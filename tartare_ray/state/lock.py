@@ -39,6 +39,7 @@ class WriterLock:
             raise ConcurrentWriterError(
                 f"another engine is committing to {os.path.dirname(self.path)}"
             ) from None
+        os.ftruncate(self._fd, 0)  # clear a longer previous holder's pid
         os.write(self._fd, str(os.getpid()).encode())
         return self
 

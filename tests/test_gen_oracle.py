@@ -126,3 +126,30 @@ def test_oracle_evolved_schema(tmp_log):
     # sorted by doc_id, unique keys
     ids = out["doc_id"].to_pylist()
     assert ids == sorted(ids) and len(ids) == len(set(ids))
+
+
+def test_oracle_folds_global_lsn_order_across_files():
+    """Multi-source logs interleave LSN ranges across files; the
+    oracle must fold by GLOBAL LSN, not file order."""
+    import os
+    import tempfile
+
+    def ev(lsn, n_tok):
+        return pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": ["U"],
+                "doc_id": ["doc-x"],
+                "tokens": pa.array([[1] * n_tok], pa.list_(pa.int32())),
+                "n_tok": pa.array([n_tok], pa.int32()),
+                "source": ["s"],
+                "schema_version": pa.array([1], pa.int32()),
+            }
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        # a.parquet sorts FIRST by path but holds the NEWER event
+        pq.write_table(ev(10, 2), os.path.join(d, "a.parquet"))
+        pq.write_table(ev(5, 1), os.path.join(d, "b.parquet"))
+        out = replay_oracle([os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")])
+        assert out["n_tok"].to_pylist() == [2]  # lsn 10 wins

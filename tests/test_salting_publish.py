@@ -280,3 +280,37 @@ def test_unknown_extra_columns_become_evolution(ray_session, tmp_path):
     )
     eng2.replay()
     assert "junk_debug_field" not in eng2.snapshot_table().schema.names
+
+
+def test_publish_replaces_bytes_after_rollback(ray_session, tmp_path):
+    """Epoch number alone is not snapshot identity: after a rollback +
+    value-only log fix + replay (same epoch, different bytes), a
+    re-publish must replace the destination's data, not no-op."""
+    import shutil
+
+    from tartare_ray.gen import GenConfig, generate_log
+    from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+    from tartare_ray.state.publish import publish_snapshot
+
+    res = generate_log(
+        str(tmp_path / "log"), GenConfig(n_events=4000, n_docs=300, events_per_file=2000)
+    )
+    log = os.path.dirname(res.files[0])
+    eng = CdcEngine(log, str(tmp_path / "t"), EngineConfig(num_partitions=2, epoch_max_files=1))
+    eng.replay()
+    dest = str(tmp_path / "dest")
+    publish_snapshot(eng.table_root, dest)
+
+    eng.rollback(1)
+    t = pq.read_table(res.files[1])
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("source"), "source",
+                     pa.array(["fixed"] * len(t))),
+        res.files[1],
+    )
+    eng.replay()  # re-commits epoch 2 with different bytes
+    publish_snapshot(eng.table_root, dest)
+
+    # the destination serves the corrected data
+    dest_eng = CdcEngine("/nonexistent", dest, EngineConfig(num_partitions=2))
+    assert "fixed" in set(dest_eng.snapshot_table()["source"].to_pylist())
