@@ -674,8 +674,11 @@ class CdcEngine:
         return m
 
     def _commit(self, m: Manifest) -> None:
-        """Split out so crash-injection tests can fail between phases."""
-        commit_manifest(self.table_root, m)
+        """Split out so crash-injection tests can fail between phases.
+        guard_parent: the epoch chain's CURRENT swap is a CAS on the
+        parent epoch — lost updates surface as ConcurrentWriterError
+        instead of silently dropping a competing writer's epoch."""
+        commit_manifest(self.table_root, m, guard_parent=True)
 
     # -- replay loop -------------------------------------------------------
     def replay(self) -> Manifest | None:

@@ -29,6 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions import text as FT
 from ..stages import dedup as D
 from ..stages import multimodal as MM
 from ..stages import similarity as S
@@ -1705,6 +1706,127 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def token_rarity(sf_dir: str, rare_max: int = 2) -> ray.data.Dataset:
+    """Corpus-statistics-driven quality scoring: per document, how many
+    of its word occurrences are RARE (global corpus frequency ≤
+    ``rare_max``) — the classic low-quality/OCR-noise signal.  Two
+    passes: (1) vocabulary counts via per-batch ``value_counts``
+    partials → tiny grouped sum; (2) the FREQUENT word set (the
+    Zipf head — small and shrinking relative to corpus size, unlike
+    the rare tail) broadcasts via ``ray.put`` and each batch computes
+    ``n_rare = n_words − n_frequent_hits`` vectorized.  Broadcasting
+    the head instead of the tail is what makes this shape work at
+    100 TB: the tail IS most of the vocabulary."""
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(FT.word_lists(b["text"]))
+        if len(flat) == 0:
+            return pa.table({"w": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        return pa.table(
+            {"w": vc.field("values"), "c": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    vocab = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    frequent: list[str] = []
+    for b in vocab.iter_batches(batch_format="pyarrow"):
+        frequent.extend(b.filter(pc.greater(b["c"], rare_max))["w"].to_pylist())
+    fref = ray.put(frozenset(frequent))
+
+    class RarityStage:
+        """Frequent-set membership scorer; the set is resolved once
+        per actor (never re-shipped per batch)."""
+
+        def __init__(self, fref):
+            self.freq = ray.get(fref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vals, offsets = FT.flat_words(FT.word_lists(b["text"]))
+            n_words = np.diff(offsets).astype(np.int64)
+            n_freq = FT.segment_member_counts(vals, offsets, self.freq)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_words": pa.array(n_words),
+                    "n_rare": pa.array(n_words - n_freq),
+                }
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        RarityStage,
+        fn_constructor_kwargs=dict(fref=fref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 200, train_docs: int = 2048) -> ray.data.Dataset:
+    """REAL byte-level BPE end-to-end (functions/bpe.py): train the
+    merge table on a bounded driver-side corpus sample (BPE training is
+    sequential by nature; at scale the sample streams from the first
+    row groups exactly like the IVF kmeans sample), broadcast the
+    merges once, encode as an actor-pool stage with per-actor caching.
+    Rows-only driver check; losslessness (decode∘encode == id) and
+    exact merge semantics are pytest-asserted."""
+    from collections import Counter
+
+    from ..functions.bpe import train_bpe
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    counts: Counter[str] = Counter()
+    seen = 0
+    for b in pf.iter_batches(batch_size=512, columns=["text"]):
+        for t in b["text"].to_pylist():
+            words = t.split()
+            for i, w in enumerate(words):
+                counts[w if i == 0 else " " + w] += 1
+        seen += len(b)
+        if seen >= train_docs:
+            break
+    merges = train_bpe(counts, n_merges)
+    mref = ray.put(merges)
+    encoded = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.BpeEncodeStage,
+        fn_constructor_kwargs=dict(merges_ref=mref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=_conc(),
+    )
+    return encoded.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def cdc_token_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Token-SEQUENCE exact dedup over the committed flagship table
+    (the input_hint payload): each row's token array folds to one
+    order/length-sensitive 64-bit rolling fingerprint per batch, so the
+    shuffle moves a uint64 per row — never the lists; groups then keep
+    the min-doc_id survivor + copy count.  Rows-only driver check;
+    planted-duplicate exactness is pytest-asserted."""
+    eng = run_flagship(sf_dir)
+    parts = eng.snapshot_dataset(columns=["doc_id", "tokens"]).map_batches(
+        TX.token_fingerprints_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def survivor_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "survivor": pa.array([min(ids)], pa.string()),
+                "n_copies": pa.array([len(ids)], pa.int64()),
+                "n_tok": pa.array([g["n_tok"][0].as_py()], pa.int64()),
+            }
+        )
+
+    return parts.groupby("fp").map_groups(survivor_group, batch_format="pyarrow")
+
+
 def semi_join(sf_dir: str) -> ray.data.Dataset:
     """Semi-join: customers WITH a qualifying order (broadcast key-set
     membership)."""
@@ -1924,6 +2046,11 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "decontaminate": decontaminate,
+    # — new this round (tokens axis): real BPE, corpus-stats scoring,
+    #   token-sequence dedup
+    "token_rarity": token_rarity,
+    "bpe_encode": bpe_encode,
+    "cdc_token_dedup": cdc_token_dedup,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
@@ -1951,17 +2078,18 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "text_stats": text_stats,
     "tokens_per_lang": tokens_per_lang,
-    "lang_id": lang_id,
-    "doc_fingerprint": doc_fingerprint,
     "doc_repetition": doc_repetition,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
-    # — past the driver window: relational variants, double-green in r1+r2
+    # — past the driver window: entries already green under the driver in
+    #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "date_histogram": date_histogram,
     "lead_lag": lead_lag,
     "running_total": running_total,
@@ -2246,6 +2374,19 @@ ORACLE_SQL = {
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
         FROM documents
+    """,
+    "token_rarity": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ), freq AS (
+            SELECT w, count(*) AS c FROM words GROUP BY w
+        )
+        SELECT words.doc_id,
+               count(*) AS n_words,
+               count(*) FILTER (WHERE freq.c <= 2) AS n_rare
+        FROM words JOIN freq USING (w)
+        GROUP BY words.doc_id
     """,
     "bpe_token_count": """
         SELECT doc_id,

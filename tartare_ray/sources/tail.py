@@ -6,9 +6,9 @@ archives (`tartare/core/fetcher.py`, `tartare/tasks.py::automatic_update`
 `[UNVERIFIED — empty checkout, SURVEY.md §0]`).  Here the equivalent is
 an LSN high-watermark: a file is *pending* iff its max LSN exceeds the
 committed watermark.  Per-file LSN ranges come from the Parquet footer
-statistics (no data pages are read), so tailing a log of F files costs
-F footer reads on the driver — at real scale this moves into a handful
-of Ray tasks, but it is metadata-only either way.
+statistics (no data pages are read); beyond
+``DISTRIBUTED_LIST_THRESHOLD`` files the footer scan fans out as Ray
+tasks, so a 10k-file log costs the driver zero parquet opens.
 
 Files must individually be LSN-contiguous *ranges* and the log is
 append-only; a straddling file (min <= W < max) can occur only if an
@@ -73,22 +73,56 @@ def _lsn_range(path: str) -> tuple[int, int, int, int]:
     return int(lo), int(hi), md.num_rows, nbytes
 
 
-def list_log_files(log_dir: str | Sequence[str]) -> list[LogFile]:
+def _lsn_ranges(paths: list[str]) -> list[tuple[int, int, int, int]]:
+    """Footer scan of a path chunk — the Ray-task payload of the
+    distributed listing."""
+    return [_lsn_range(p) for p in paths]
+
+
+# Above this many log files the footer scan fans out as Ray tasks
+# (metadata-only, ~KBs per file): a 10k-file log costs the driver zero
+# parquet opens and the scan parallelizes across the cluster, with
+# file locality where the FS is node-local.  Below it, task dispatch
+# overhead exceeds the footer reads themselves.
+DISTRIBUTED_LIST_THRESHOLD = 64
+_CHUNK = 32  # files per footer-scan task
+
+
+def list_log_files(
+    log_dir: str | Sequence[str], *, distributed_threshold: int | None = None
+) -> list[LogFile]:
     """One or many log directories (N-source union, SURVEY.md §2A D2:
     tartare's coverage merging N contributor streams).  All sources must
     share ONE global LSN sequencer (sharded WAL segments of a single
     log): the merged listing is ordered by min_lsn, and
     ``plan_epoch``'s completeness chase keeps every epoch cut
-    LSN-complete across sources."""
+    LSN-complete across sources.
+
+    Footer reads run as Ray tasks when the file count reaches
+    ``distributed_threshold`` (default ``DISTRIBUTED_LIST_THRESHOLD``)
+    and a Ray session exists; small logs stay driver-local."""
     dirs = [log_dir] if isinstance(log_dir, str) else list(log_dir)
-    out = []
+    paths: list[str] = []
     for d in dirs:
-        for name in sorted(os.listdir(d)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(d, name)
-            lo, hi, n, nb = _lsn_range(path)
-            out.append(LogFile(path, lo, hi, n, nb))
+        paths.extend(
+            os.path.join(d, name)
+            for name in sorted(os.listdir(d))
+            if name.endswith(".parquet")
+        )
+    thr = DISTRIBUTED_LIST_THRESHOLD if distributed_threshold is None else distributed_threshold
+    ranges: list[tuple[int, int, int, int]]
+    if len(paths) >= thr:
+        import ray
+
+        if ray.is_initialized():
+            scan = ray.remote(num_cpus=0.25)(_lsn_ranges)
+            chunks = [paths[i : i + _CHUNK] for i in range(0, len(paths), _CHUNK)]
+            ranges = [r for sub in ray.get([scan.remote(c) for c in chunks]) for r in sub]
+        else:
+            ranges = _lsn_ranges(paths)
+    else:
+        ranges = _lsn_ranges(paths)
+    out = [LogFile(p, lo, hi, n, nb) for p, (lo, hi, n, nb) in zip(paths, ranges)]
     out.sort(key=lambda f: f.min_lsn)
     return out
 

@@ -139,6 +139,58 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+class BpeEncodeStage:
+    """Real byte-level BPE encoding as the canonical stateful stage:
+    the merge ranks (the 'model checkpoint') are broadcast once via
+    ``ray.put`` and the encoder — with its per-actor word cache — is
+    built ONCE per actor in ``__init__``; ``__call__`` encodes a batch.
+    Zipfian word reuse makes the cache hit rate →1, so the amortized
+    per-word cost is a dict lookup despite BPE being inherently
+    sequential per NEW word (``functions/bpe.py``)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        from ..functions.bpe import BpeEncoder
+
+        self.enc = BpeEncoder(ray.get(merges_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        encoded = [self.enc.encode(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bpe_tokens": pa.array(encoded, pa.list_(pa.int32())),
+                "n_bpe_tokens": pa.array([len(e) for e in encoded], pa.int64()),
+            }
+        )
+
+
+def token_fingerprints_batch(batch: pa.Table, col: str = "tokens") -> pa.Table:
+    """Per-row 64-bit fingerprint of the token ARRAY (order- and
+    length-sensitive rolling hash over mixed token ids) — the partial
+    half of token-sequence exact dedup: the shuffle carries one uint64
+    per row, never the token lists themselves."""
+    from ..functions.hashing import mix64, rolling_fingerprint
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = int(offsets[0])
+    flat = arr.values.to_numpy(zero_copy_only=False)[lo : int(offsets[-1])]
+    mixed = mix64(flat.astype(np.uint64))
+    fp = rolling_fingerprint(mixed, offsets - lo)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(fp.view(np.int64), pa.int64()),
+            "n_tok": pc.cast(pc.list_value_length(arr), pa.int64()),
+        }
+    )
+
+
 def bigram_counts_batch(batch: pa.Table) -> pa.Table:
     """Partial per-batch bigram counts — the combiner half of the
     n-gram statistics pipeline: each batch emits its own (bigram, n)

@@ -121,11 +121,44 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)
 
 
-def commit_manifest(table_root: str, m: Manifest) -> None:
-    """Phase 1: epoch manifest file; phase 2: CURRENT swap."""
-    os.makedirs(os.path.join(table_root, "_manifests"), exist_ok=True)
-    _atomic_write(_manifest_path(table_root, m.epoch), json.dumps(asdict(m), indent=1))
-    _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(m.epoch))
+def commit_manifest(table_root: str, m: Manifest, *, guard_parent: bool = False) -> None:
+    """Phase 1: epoch manifest file; phase 2: CURRENT swap.
+
+    With ``guard_parent=True`` (the engine's own epoch chain) the swap
+    is a COMPARE-AND-SWAP expecting CURRENT == m.parent_epoch: a lost
+    update — two writers both building E+1 from parent E, the second
+    silently overwriting the first — is detected at the linearization
+    point itself, independent of the advisory flock.  On a backend
+    with native conditional puts (state/storage.py) this is the whole
+    multi-writer safety story; the flock is just the POSIX fast-fail.
+    Publish/rollback keep the unguarded swap: they move CURRENT across
+    generations/backwards by design and hold the destination lease."""
+    from .storage import PosixStorage
+
+    st = PosixStorage(table_root)
+    st.write_atomic(f"_manifests/e{m.epoch:06d}.json", json.dumps(asdict(m), indent=1))
+    if not guard_parent:
+        st.write_atomic("_manifests/CURRENT", str(m.epoch))
+        return
+    expected = None if m.parent_epoch is None else str(m.parent_epoch)
+    if st.cas("_manifests/CURRENT", str(m.epoch), expected=expected):
+        return
+    # CAS miss: idempotent re-commit of an already-committed epoch is
+    # fine (a crashed caller retrying after the swap already landed)
+    try:
+        cur = st.read_text("_manifests/CURRENT").strip()
+    except FileNotFoundError:
+        cur = "<absent>"
+    if cur != str(m.epoch):
+        from .lock import ConcurrentWriterError
+
+        # retract the loser's phase-1 manifest so the committed-epoch
+        # listing only ever shows the winning chain
+        st.delete(f"_manifests/e{m.epoch:06d}.json")
+        raise ConcurrentWriterError(
+            f"lost-update detected committing epoch {m.epoch} over parent "
+            f"{m.parent_epoch}: CURRENT is {cur} (another writer advanced the table)"
+        )
 
 
 def list_committed_epochs(table_root: str) -> list[int]:

@@ -709,3 +709,17 @@ def test_poison_schema_file_truncates_then_fails_loudly(ray_session, tmp_path):
 
     met = json.load(open(os.path.join(eng.table_root, "_metrics", "e000001.json")))
     assert met.get("schema_conflict_file", "").endswith("f1.parquet")
+
+
+def test_distributed_footer_listing_matches_driver(ray_session, tmp_path):
+    """Above the file-count threshold the footer scan fans out as Ray
+    tasks; the listing (paths, LSN ranges, rows, bytes) is identical
+    to the driver-local scan."""
+    from tartare_ray.sources.tail import list_log_files
+
+    log_dir = str(tmp_path / "log")
+    generate_log(log_dir, GenConfig(n_events=7000, n_docs=300, events_per_file=100))
+    local = list_log_files(log_dir, distributed_threshold=10**9)
+    dist = list_log_files(log_dir, distributed_threshold=1)
+    assert len(local) == 70
+    assert local == dist
