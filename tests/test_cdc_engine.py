@@ -370,6 +370,7 @@ def test_ingest_steps_run_during_apply(ray_session, tmp_path):
     assert snap["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
 
 
+@pytest.mark.slow
 def test_snapshot_predicate_pushdown(ray_session, tmp_path):
     """predicate= pushes to row-group stats on base scans (and filters
     post-fold on chains); with columns= it may reference non-projected

@@ -57,6 +57,7 @@ def test_derive_log_idempotent(tmp_path):
     assert sorted(os.listdir(d)) == first
 
 
+@pytest.mark.slow
 def test_bench_emits_valid_json_line(tmp_path):
     """Guard the driver's per-round bench: tiny config end-to-end, one
     parseable JSON line with the contract keys."""

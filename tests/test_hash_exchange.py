@@ -56,6 +56,7 @@ def test_hash_exchange_replay_matches_oracle(ray_session, gen_dir, tmp_path):
     _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
 
 
+@pytest.mark.slow
 def test_hash_exchange_with_late_materialization_matches_oracle(
     ray_session, gen_dir, tmp_path
 ):
@@ -173,6 +174,7 @@ def test_split_applier_retry_writes_identical_file(ray_session, tmp_path):
     assert open(os.path.join(root, f2), "rb").read() == bytes1
 
 
+@pytest.mark.slow
 def test_hash_exchange_triggers_compaction(ray_session, gen_dir, tmp_path):
     """Chains past compact_chain_len are folded by a post-commit
     compaction pass (split mode never compacts inline)."""
@@ -196,6 +198,7 @@ def test_hash_exchange_triggers_compaction(ray_session, gen_dir, tmp_path):
     _assert_table_equals(eng.snapshot_table(), replay_oracle(res.files))
 
 
+@pytest.mark.slow
 def test_changes_dataset_split_epoch_unique_winners(ray_session, gen_dir, tmp_path):
     """A split epoch's change feed must still emit ≤1 winner per
     doc_id even when a part's winners span several delta files."""

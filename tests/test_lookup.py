@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.compute as pc
+import pytest
 
 from tartare_ray.gen import GenConfig, generate_log
 from tartare_ray.oracle import replay_oracle
@@ -18,6 +19,7 @@ def _oracle_rows(files, ids, cols):
     return hit.select(cols).sort_by("doc_id").to_pylist()
 
 
+@pytest.mark.slow
 def test_lookup_matches_oracle_across_modes(ray_session, tmp_path):
     res = generate_log(
         str(tmp_path / "log"),

@@ -4,6 +4,8 @@ fold of ops in LSN order — per doc, token arrays compared exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import numpy as np
@@ -62,6 +64,7 @@ def _write_log(events, log_dir):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(event_logs(), st.sampled_from([None, 2]), st.booleans())
+@pytest.mark.slow
 def test_engine_equals_sequential_fold(ray_session, tmp_path_factory, events, salts, late):
     base = str(tmp_path_factory.mktemp("prop"))
     files = _write_log(events, os.path.join(base, "log"))
@@ -81,6 +84,7 @@ def test_engine_equals_sequential_fold(ray_session, tmp_path_factory, events, sa
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(event_logs(), st.lists(st.integers(0, 2), min_size=2, max_size=12))
+@pytest.mark.slow
 def test_multi_source_split_equals_single_log(
     ray_session, tmp_path_factory, events, assignment
 ):

@@ -8,6 +8,8 @@ new count from the manifest regardless of engine config.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyarrow as pa
@@ -90,6 +92,7 @@ def test_repartition_is_consistent_for_stale_readers_and_writers(
     assert w.lookup([ids[0]])["tokens"].to_pylist() == [[7, 7, 7]]
 
 
+@pytest.mark.slow
 def test_repartition_cli(ray_session, tmp_path):
     import json
     import subprocess

@@ -76,6 +76,7 @@ def test_rollback_clamps_consumers_for_redelivery(ray_session, tmp_path):
     assert eng.consumers() == {"replica": 3}
 
 
+@pytest.mark.slow
 def test_rollback_drops_view_checkpoints(ray_session, tmp_path):
     from tartare_ray.pipelines.views import IncrementalAggView
 

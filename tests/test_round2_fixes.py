@@ -327,6 +327,7 @@ def test_changes_between_refuses_gcd_history(ray_session, tmp_path):
     assert eng.changes_between(3999, 5999).count() > 0
 
 
+@pytest.mark.slow
 def test_engine_config_not_mutated_across_engines(ray_session, tmp_path):
     from tartare_ray.gen import GenConfig, generate_log
     from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig

@@ -152,6 +152,7 @@ def test_csv_source_roundtrip(tmp_path, ray_session):
     assert ds.count() == 3
 
 
+@pytest.mark.slow
 def test_cli_gen_detect_replay_publish(tmp_path):
     env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
 
@@ -186,6 +187,7 @@ def test_cli_gen_detect_replay_publish(tmp_path):
     assert out["last_epoch_phases"]["exchange_apply_s"] > 0
 
 
+@pytest.mark.slow
 def test_cli_tail_follows_appends(tmp_path, ray_session):
     """Live tail: files fed into the log dir one wave at a time; each
     wave commits its own epoch, and the final table equals the full-log

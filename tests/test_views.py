@@ -27,6 +27,7 @@ def direct_agg(snap: pa.Table, group_col: str, sum_col: str) -> dict:
 
 
 @pytest.mark.parametrize("mode", ["cow", "delta"])
+@pytest.mark.slow
 def test_view_tracks_snapshot_every_epoch(tmp_path, ray_session, mode):
     res = generate_log(
         str(tmp_path / "log"),
