@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "embedding_dedup",
+    "ann_lsh_pairs",
+    "token_rarity",
     "ann_topk",
     "multimodal_meta",
     "cdc_pack_sequences",

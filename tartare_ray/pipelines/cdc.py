@@ -32,7 +32,14 @@ from ..schema import (
     schema_fingerprint,
     unify_with_widening,
 )
-from ..sources.tail import LogFile, list_log_files, pending_files, plan_epoch
+from ..sources.tail import (
+    LogFile,
+    list_log_files,
+    pending_files,
+    plan_epoch,
+    read_log_schema,
+    resolve_read_paths,
+)
 from ..state.manifest import (
     Manifest,
     PartitionLineage,
@@ -197,7 +204,7 @@ class CdcEngine:
         widening union of the parent snapshot schema and every epoch
         file's payload schema (null-retained drop policy, schema.py)."""
         parent = cur.schema if cur is not None else self.cfg.initial_schema
-        payloads = [payload_schema(pq.read_schema(f.path)) for f in files]
+        payloads = [payload_schema(read_log_schema(f.path)) for f in files]
         snap = unify_with_widening([parent, *payloads])
         if self.cfg.drop_columns:
             snap = pa.schema([f for f in snap if f.name not in self.cfg.drop_columns])
@@ -216,8 +223,10 @@ class CdcEngine:
         from ..stages.kernels import latest_per_key
         from ..stages.validate import EnvelopeWinnerStage
 
+        env_paths, env_fs = resolve_read_paths([f.path for f in chosen])
         env = ray.data.read_parquet(
-            [f.path for f in chosen],
+            env_paths,
+            filesystem=env_fs,
             columns=["lsn", "op", "doc_id"],
             override_num_blocks=cpus,
         ).map_batches(
@@ -374,7 +383,7 @@ class CdcEngine:
         for i, f in enumerate(chosen):
             try:
                 acc = unify_with_widening(
-                    [acc, payload_schema(pq.read_schema(f.path))]
+                    [acc, payload_schema(read_log_schema(f.path))]
                 )
             except pa.ArrowTypeError as err:
                 conflict = (i, f, str(err))
@@ -514,8 +523,10 @@ class CdcEngine:
     ) -> Manifest:
         phases = {} if phases is None else phases
         t_pipe = time.perf_counter()
+        log_paths, log_fs = resolve_read_paths([f.path for f in chosen])
         ds = ray.data.read_parquet(
-            [f.path for f in chosen],
+            log_paths,
+            filesystem=log_fs,
             override_num_blocks=num_blocks,
         )
         # Validate/unify/pre-reduce runs as plain TASKS (an instance, not
@@ -974,7 +985,8 @@ class CdcEngine:
                 b = pa.concat_tables([dels, rest]) if len(dels) else rest
             return latest_per_key(conform(b, feed_schema), "doc_id", "lsn")
 
-        ds = ray.data.read_parquet(log_files).map_batches(
+        log_paths, log_fs = resolve_read_paths(log_files)
+        ds = ray.data.read_parquet(log_paths, filesystem=log_fs).map_batches(
             in_range, batch_format="pyarrow", zero_copy_batch=True
         )
         if xform_steps:
@@ -1246,6 +1258,14 @@ class CdcEngine:
 
         from ..state.lock import WriterLock
 
+        first = self.log_dir if isinstance(self.log_dir, str) else self.log_dir[0]
+        if "://" in first:
+            # URI logs are tailed read-only by this engine; the
+            # dead-letter append belongs to the log's producer side
+            raise ValueError(
+                "requeue_quarantine needs a POSIX log dir to append to; "
+                f"got URI {first!r}"
+            )
         d = self._quarantine_dir(epoch)
         files = (
             [os.path.join(d, n) for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
@@ -1279,7 +1299,6 @@ class CdcEngine:
             fixed = fixed.set_column(
                 fixed.schema.get_field_index("lsn"), "lsn", fresh
             )
-            first = self.log_dir if isinstance(self.log_dir, str) else self.log_dir[0]
             path = os.path.join(first, f"requeue-e{epoch:06d}.parquet")
             tmp = path + ".inprogress"
             pq.write_table(fixed, tmp)

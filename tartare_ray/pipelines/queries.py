@@ -1536,10 +1536,8 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
         concurrency=_conc(),
     )
     pairs = buckets.groupby(["table", "bucket"]).map_groups(
-        S.BucketPairsVerifyStage,
-        fn_constructor_kwargs=dict(threshold=threshold),
+        lambda g: S.bucket_pairs_verify(g, threshold=threshold),
         batch_format="pyarrow",
-        concurrency=_conc(),
     )
     # a pair may surface from several tables — dedupe
     return (

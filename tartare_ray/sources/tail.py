@@ -35,8 +35,61 @@ class LogFile:
     bytes_uncompressed: int = 0  # from row-group metadata; sizes read blocks
 
 
+def _fs_for(path: str):
+    """(filesystem, fs-local path) for a URI (``s3://…``, ``file://…``)
+    or (None, path) for a plain local path.  The reference's
+    HTTP/FTP fetchers (§2A S1/S2) map to URI schemes here: the log
+    directory itself may live on object storage, and everything
+    downstream (``ray.data.read_parquet``, ``pq.read_schema``) already
+    accepts the same URIs."""
+    if "://" not in path:
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _open_parquet(path: str) -> pq.ParquetFile:
+    f, p = _fs_for(path)
+    if f is None:
+        return pq.ParquetFile(p)
+    return pq.ParquetFile(f.open_input_file(p))
+
+
+def read_log_schema(path: str):
+    """Arrow schema of a log file by path or URI (footer-only)."""
+    return _open_parquet(path).schema_arrow
+
+
+def resolve_read_paths(paths: list[str]) -> tuple[list[str], object | None]:
+    """(paths, filesystem) ready for ``ray.data.read_parquet``: URI
+    paths become fs-local paths plus an explicit filesystem object —
+    Ray resolves a URI only in the FIRST element of a path list, so
+    passing mixed/URI lists without this breaks.  Plain local paths
+    pass through with filesystem=None.  One scheme per log (asserted);
+    a multi-scheme union should be two sources."""
+    if not paths or "://" not in paths[0]:
+        assert all("://" not in p for p in paths), "mixed URI/local log paths"
+        return paths, None
+    from pyarrow import fs as pafs
+
+    scheme = paths[0].split("://", 1)[0]
+    assert all(p.split("://", 1)[0] == scheme for p in paths), "one URI scheme per log"
+    f, _ = pafs.FileSystem.from_uri(paths[0])
+    return [p.split("://", 1)[1] for p in paths], f
+
+
+def remove_log_file(path: str) -> None:
+    """Delete a log file by path or URI (gc_log's deletion hook)."""
+    f, p = _fs_for(path)
+    if f is None:
+        os.remove(p)
+    else:
+        f.delete_file(p)
+
+
 def _lsn_range(path: str) -> tuple[int, int, int, int]:
-    f = pq.ParquetFile(path)
+    f = _open_parquet(path)
     md = f.metadata
     # the PHYSICAL leaf index of lsn (nested columns flatten in the
     # parquet schema, so the Arrow field index is wrong whenever a
@@ -104,11 +157,25 @@ def list_log_files(
     dirs = [log_dir] if isinstance(log_dir, str) else list(log_dir)
     paths: list[str] = []
     for d in dirs:
-        paths.extend(
-            os.path.join(d, name)
-            for name in sorted(os.listdir(d))
-            if name.endswith(".parquet")
-        )
+        f, p = _fs_for(d)
+        if f is None:
+            paths.extend(
+                os.path.join(p, name)
+                for name in sorted(os.listdir(p))
+                if name.endswith(".parquet")
+            )
+        else:
+            from pyarrow import fs as pafs
+
+            scheme = d.split("://", 1)[0]
+            infos = f.get_file_info(pafs.FileSelector(p))
+            paths.extend(
+                sorted(
+                    f"{scheme}://{i.path}"
+                    for i in infos
+                    if i.is_file and i.path.endswith(".parquet")
+                )
+            )
     thr = DISTRIBUTED_LIST_THRESHOLD if distributed_threshold is None else distributed_threshold
     ranges: list[tuple[int, int, int, int]]
     if len(paths) >= thr:

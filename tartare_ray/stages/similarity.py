@@ -149,46 +149,42 @@ class HyperplaneBucketStage:
         )
 
 
-class BucketPairsVerifyStage:
-    """(table, bucket) groups → exact-cosine pairs within the bucket.
+def bucket_pairs_verify(group: pa.Table, threshold: float, max_bucket: int = 1024) -> pa.Table:
+    """(table, bucket) group → exact-cosine pairs within the bucket.
     GROUP-LOCAL: the embeddings arrive with the group (carried through
     the bucket shuffle by ``HyperplaneBucketStage``), so memory per
-    call is O(bucket), never O(corpus) — the 100 TB shape."""
-
-    def __init__(self, threshold: float, max_bucket: int = 1024):
-        self.threshold = threshold
-        self.max_bucket = max_bucket
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-        n = len(group)
-        if n < 2 or n > self.max_bucket:
-            return empty
-        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = group["emb"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        d = emb.type.list_size
-        sub = emb.values.to_numpy(zero_copy_only=False).reshape(n, d)
-        # deterministic output order regardless of shuffle arrival order
-        order = np.argsort(ids, kind="stable")
-        ids, sub = ids[order], sub[order]
-        sims = sub @ sub.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= self.threshold
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ia[keep]]),
-                "id_b": pa.array(ids[ib[keep]]),
-                "cos": pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
-            }
-        )
+    call is O(bucket), never O(corpus) — the 100 TB shape.  STATELESS
+    since the corpus broadcast was removed, so it runs as plain tasks
+    (no actor-pool spin-up on the query's critical path)."""
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+    n = len(group)
+    if n < 2 or n > max_bucket:
+        return empty
+    ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = group["emb"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    d = emb.type.list_size
+    sub = emb.values.to_numpy(zero_copy_only=False).reshape(n, d)
+    # deterministic output order regardless of shuffle arrival order
+    order = np.argsort(ids, kind="stable")
+    ids, sub = ids[order], sub[order]
+    sims = sub @ sub.T
+    ia, ib = np.triu_indices(n, k=1)
+    keep = sims[ia, ib] >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ia[keep]]),
+            "id_b": pa.array(ids[ib[keep]]),
+            "cos": pa.array(np.round(sims[ia[keep], ib[keep]], 6)),
+        }
+    )
 
 
 # -- IVF (inverted-file) ANN — the coarse-quantizer scale path ------------

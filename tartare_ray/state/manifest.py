@@ -411,9 +411,11 @@ def gc_log(table_root: str, log_dir) -> int:
         # the tail only ever needs files above the committed watermark
         floor = min(floors, default=cur.watermark_lsn + 1)
         removed = 0
+        from ..sources.tail import remove_log_file
+
         for f in list_log_files(log_dir):
             if f.max_lsn < floor:
-                os.remove(f.path)
+                remove_log_file(f.path)
                 removed += 1
         return removed
 
