@@ -1,0 +1,243 @@
+"""Incrementally-maintained token-sequence dedup index over a CDC
+table — dedup as a first-class *incremental* component instead of a
+periodic full-corpus rescan.
+
+Per committed epoch, the table's change feed (latest-per-key winners +
+tombstones) folds to tiny fingerprint deltas — ``(doc_id, fp, op,
+lsn)``, one order/length-sensitive uint64 per row
+(``stages/text.py::token_fingerprints_batch``) — persisted as one
+directory per source epoch under ``table_root/_indexes/<name>/``.
+Duplicate-group queries then fold the deltas (latest LSN per doc wins,
+deletes drop) without ever rescanning the snapshot's token lists: the
+index I/O is O(Σ epoch winners × ~40 bytes), the dedup query I/O is
+O(index), and the 100 TB corpus is touched exactly once per row's
+lifetime.
+
+Exactly-once by the same composition as ``pipelines/replica.py``:
+- delta persistence is write-to-tmp + directory rename keyed by the
+  source epoch (a crashed/retried update rewrites the same directory);
+- the consumer cursor (``ack_changes``) advances only after the
+  rename, so a crash before it re-delivers the epoch (idempotent);
+- each directory carries a ``_source.json`` marker with the source
+  manifest's lineage identity + rollback GENERATION: after a source
+  rollback the redelivered epochs' stale deltas are detected and
+  rewritten (``rollback_to`` already clamps the cursor).
+
+Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
+tartare's checksum-dedup of re-fetched feeds, upgraded from
+whole-archive md5 polling to incremental per-record content indexing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..state.manifest import list_committed_epochs, load_epoch, load_generation
+from ..stages.text import token_fingerprints_batch
+from .replica import _epoch_identity
+
+
+class TokenDedupIndex:
+    """See module docstring.  One instance per (table, name)."""
+
+    def __init__(self, engine, name: str = "tokfp"):
+        self.engine = engine
+        self.name = name
+        self.dir = os.path.join(engine.table_root, "_indexes", name)
+        self.consumer = f"dedup-index-{name}"
+
+    # -- persistence --------------------------------------------------------
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"fp-e{epoch:06d}")
+
+    def _marker_ok(self, epoch: int) -> bool:
+        p = os.path.join(self._epoch_dir(epoch), "_source.json")
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            d = json.load(f)
+        m = load_epoch(self.engine.table_root, epoch)
+        return d.get("identity") == _epoch_identity(m) and d.get(
+            "generation"
+        ) == load_generation(self.engine.table_root)
+
+    def _fold_feed(self, epoch: int, ds: ray.data.Dataset) -> pa.Table:
+        """Feed → (doc_id, fp, op, lsn) delta rows.  Tombstones carry a
+        null fp (their tokens are null by construction)."""
+
+        def fp_rows(b: pa.Table) -> pa.Table:
+            is_del = pc.fill_null(pc.equal(b["op"], "D"), False)
+            live = b.filter(pc.invert(is_del))
+            dels = b.filter(is_del)
+            parts = []
+            if len(live):
+                f = token_fingerprints_batch(live)
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": f["doc_id"],
+                            "fp": f["fp"],
+                            "op": live["op"],
+                            "lsn": live["lsn"],
+                        }
+                    )
+                )
+            if len(dels):
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": dels["doc_id"],
+                            "fp": pa.nulls(len(dels), pa.int64()),
+                            "op": dels["op"],
+                            "lsn": dels["lsn"],
+                        }
+                    )
+                )
+            if not parts:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.string()),
+                        "fp": pa.array([], pa.int64()),
+                        "op": pa.array([], pa.string()),
+                        "lsn": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.concat_tables(parts).combine_chunks()
+
+        out = ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+        # delta rows are ~40 B each — a 10M-winner epoch folds to ~400 MB
+        # spread over blocks; we concat per epoch (bounded by epoch size,
+        # which the planner already bounds to the object store)
+        tables = list(out.iter_batches(batch_format="pyarrow"))
+        return (
+            pa.concat_tables(tables).combine_chunks()
+            if tables
+            else fp_rows(pa.table({"op": pa.array([], pa.string())}))
+        )
+
+    def _write_epoch(self, epoch: int, delta: pa.Table) -> None:
+        final = self._epoch_dir(epoch)
+        tmp = final + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(delta, os.path.join(tmp, "delta.parquet"), compression="zstd")
+        m = load_epoch(self.engine.table_root, epoch)
+        with open(os.path.join(tmp, "_source.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "identity": _epoch_identity(m),
+                    "generation": load_generation(self.engine.table_root),
+                },
+                f,
+            )
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    # -- maintenance ---------------------------------------------------------
+    def update(self) -> list[int]:
+        """Consume every unacked epoch's feed into fingerprint deltas.
+        Incremental + idempotent; returns the epochs ingested."""
+        os.makedirs(self.dir, exist_ok=True)
+        cursor = self.engine.subscribe(self.consumer)
+        # rollback hygiene: a delta is stale iff its epoch is no longer
+        # committed OR sits ABOVE the acked cursor (``rollback_to``
+        # clamps cursors to the rollback target, so everything above
+        # gets redelivered — possibly with identical lineage but
+        # different values; everything at or below was never rolled
+        # back and its old-generation delta remains valid)
+        committed = set(list_committed_epochs(self.engine.table_root))
+        for n in os.listdir(self.dir):
+            if not n.startswith("fp-e"):
+                continue
+            if n.endswith(".inprogress"):
+                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+                continue
+            e = int(n[4:10])
+            if e not in committed or e > cursor:
+                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+        done = []
+        for e, ds in self.engine.consume(self.consumer):
+            if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):
+                self._write_epoch(e, self._fold_feed(e, ds))
+            self.engine.ack_changes(self.consumer, e)
+            done.append(e)
+        return done
+
+    # -- queries --------------------------------------------------------------
+    def _delta_files(self) -> list[str]:
+        committed = set(list_committed_epochs(self.engine.table_root))
+        out = []
+        if not os.path.isdir(self.dir):
+            return out
+        for n in sorted(os.listdir(self.dir)):
+            if n.startswith("fp-e") and not n.endswith(".inprogress"):
+                e = int(n[4:10])
+                if e in committed:
+                    out.append(os.path.join(self.dir, n, "delta.parquet"))
+        return out
+
+    def live_fingerprints(self) -> ray.data.Dataset:
+        """(doc_id, fp) of the CURRENT live state: latest-LSN record
+        per doc_id across all deltas, deletes dropped — the same
+        argmax reduce as the engine's apply, over 16-byte rows."""
+        files = self._delta_files()
+        if not files:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
+                )
+            )
+        from ..stages.kernels import latest_per_key
+
+        ds = ray.data.read_parquet(files).map_batches(
+            lambda b: latest_per_key(b, "doc_id", "lsn"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def final(g: pa.Table) -> pa.Table:
+            i = pc.index(g["lsn"], pc.max(g["lsn"]).as_py()).as_py()
+            row = g.slice(i, 1)
+            if row["op"][0].as_py() == "D":
+                return pa.table(
+                    {"doc_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
+                )
+            return row.select(["doc_id", "fp"])
+
+        return ds.groupby("doc_id").map_groups(final, batch_format="pyarrow")
+
+    def duplicate_groups(self) -> ray.data.Dataset:
+        """(fp, survivor, n_copies) for every fingerprint with ≥2 live
+        docs — min-doc_id survivor, same contract as cdc_token_dedup
+        but served FROM THE INDEX (no snapshot scan)."""
+
+        def group(g: pa.Table) -> pa.Table:
+            ids = g["doc_id"].to_pylist()
+            if len(ids) < 2:
+                return pa.table(
+                    {
+                        "fp": pa.array([], pa.int64()),
+                        "survivor": pa.array([], pa.string()),
+                        "n_copies": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "fp": g["fp"].slice(0, 1),
+                    "survivor": pa.array([min(ids)], pa.string()),
+                    "n_copies": pa.array([len(ids)], pa.int64()),
+                }
+            )
+
+        return self.live_fingerprints().groupby("fp").map_groups(
+            group, batch_format="pyarrow"
+        )

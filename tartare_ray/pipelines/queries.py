@@ -1825,6 +1825,22 @@ def cdc_token_dedup(sf_dir: str) -> ray.data.Dataset:
     return parts.groupby("fp").map_groups(survivor_group, batch_format="pyarrow")
 
 
+def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
+    """Incrementally-maintained dedup index (pipelines/dedup_index.py):
+    the flagship table's change feed folds per epoch into fingerprint
+    deltas via consumer cursors (exactly-once), and the live
+    (doc_id, fp) state is served FROM THE INDEX — the snapshot's token
+    lists are never rescanned.  Rows-only driver check; equality with
+    the direct snapshot fold and duplicate-group semantics are
+    pytest-asserted (tests/test_dedup_index.py)."""
+    from .dedup_index import TokenDedupIndex
+
+    eng = run_flagship(sf_dir)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    return idx.live_fingerprints()
+
+
 def semi_join(sf_dir: str) -> ray.data.Dataset:
     """Semi-join: customers WITH a qualifying order (broadcast key-set
     membership)."""
@@ -2049,6 +2065,7 @@ QUERIES = {
     "token_rarity": token_rarity,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
+    "cdc_dedup_index": cdc_dedup_index,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
