@@ -1,0 +1,160 @@
+"""Training-shard export sink: committed snapshot → packed,
+fixed-length training sequences as partitioned, RESUMABLE Parquet
+shards.
+
+One shard per snapshot partition, named deterministically
+``shard-{p:05d}-e{epoch:06d}-g{generation}.parquet`` and written
+tmp+rename — so a failed/killed export SKIPS finished shards on
+re-run (the brief's resumable-output rule: never one giant file, one
+unit per input shard).  A two-phase ``_export.json`` manifest commits
+last: readers treat the export as complete only when it exists, and it
+records the source (epoch, generation) so a post-rollback re-export
+replaces rather than mixes.
+
+Each shard task reads ONLY its partition's chain (PartitionMergeReader
+— no shuffle), packs block-locally (stages/pack.py), and writes its
+own file: the export is embarrassingly parallel and its memory bound
+is one partition per task, same as the engine's apply.
+
+Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
+tartare's coverage export — the immutable, dated output artifact —
+re-expressed as a partitioned training-data artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from ..state.manifest import load_current, load_epoch, load_generation
+from ..stages.pack import pack_batch
+
+
+class ExportShardStage:
+    """Partition-descriptor rows → one packed shard file each,
+    skip-if-exists (resume).  Returns per-shard lineage rows."""
+
+    def __init__(
+        self,
+        table_root: str,
+        out_dir: str,
+        schema_b64: str,
+        epoch: int,
+        generation: int,
+        seq_len: int,
+        eos: int | None,
+        pad: int | None,
+    ):
+        import base64
+
+        self.table_root = table_root
+        self.out_dir = out_dir
+        self.schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(schema_b64)))
+        self.epoch = epoch
+        self.generation = generation
+        self.seq_len = seq_len
+        self.eos = eos
+        self.pad = pad
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..stages.compact import read_chain
+
+        out = []
+        for row in batch.to_pylist():
+            p = int(row["p"])
+            name = f"shard-{p:05d}-e{self.epoch:06d}-g{self.generation}.parquet"
+            path = os.path.join(self.out_dir, name)
+            if os.path.exists(path):  # resume: shard already finished
+                md = pq.ParquetFile(path).metadata
+                out.append((p, name, md.num_rows, True))
+                continue
+            chain = json.loads(row["chain_json"])
+            live = read_chain(self.table_root, chain, self.schema)
+            packed = pack_batch(
+                live.select(["tokens"]),
+                seq_len=self.seq_len,
+                eos=self.eos,
+                pad=self.pad,
+            )
+            tmp = path + ".inprogress"
+            pq.write_table(packed, tmp, compression="zstd")
+            os.replace(tmp, path)
+            out.append((p, name, len(packed), False))
+        return pa.table(
+            {
+                "p": pa.array([r[0] for r in out], pa.int32()),
+                "file": pa.array([r[1] for r in out], pa.string()),
+                "n_seqs": pa.array([r[2] for r in out], pa.int64()),
+                "skipped": pa.array([r[3] for r in out], pa.bool_()),
+            }
+        )
+
+
+def export_training_shards(
+    engine,
+    out_dir: str,
+    seq_len: int = 2048,
+    eos: int | None = 0,
+    pad: int | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """Export the committed snapshot (or a time-travel ``epoch``) as
+    packed training shards.  Idempotent + resumable; returns the export
+    manifest (also written as ``out_dir/_export.json``)."""
+    m = load_current(engine.table_root) if epoch is None else load_epoch(
+        engine.table_root, epoch
+    )
+    if m is None:
+        raise FileNotFoundError(f"nothing committed at {engine.table_root}")
+    gen = load_generation(engine.table_root)
+    os.makedirs(out_dir, exist_ok=True)
+    items = [
+        {"p": p, "chain_json": json.dumps(chain)}
+        for p, chain in sorted(engine._chains(m).items())
+    ]
+    lineage = (
+        ray.data.from_items(items)
+        .map_batches(
+            ExportShardStage(
+                engine.table_root,
+                out_dir,
+                m.schema_b64,
+                m.epoch,
+                gen,
+                seq_len,
+                eos,
+                pad,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .take_all()
+    )  # O(partitions) descriptor rows
+    shards = sorted(lineage, key=lambda r: int(r["p"]))
+    manifest = {
+        "source_table": engine.table_root,
+        "epoch": m.epoch,
+        "generation": gen,
+        "seq_len": seq_len,
+        "eos": eos,
+        "pad": pad,
+        "n_seqs": int(sum(int(r["n_seqs"]) for r in shards)),
+        "shards": [
+            {"p": int(r["p"]), "file": r["file"], "n_seqs": int(r["n_seqs"])}
+            for r in shards
+        ],
+        "resumed_shards": int(sum(bool(r["skipped"]) for r in shards)),
+    }
+    tmp = os.path.join(out_dir, "_export.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, "_export.json"))
+    return manifest

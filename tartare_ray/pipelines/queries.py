@@ -1841,6 +1841,30 @@ def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     return idx.live_fingerprints()
 
 
+def cdc_export_shards(sf_dir: str, seq_len: int = 256) -> pa.Table:
+    """Training-shard export sink (pipelines/export.py): the committed
+    flagship snapshot packed into fixed-length sequences, one resumable
+    shard per partition + a two-phase export manifest.  Returns the
+    shard lineage (p, file, n_seqs).  Rows-only driver check; token
+    conservation, resume-skip, and manifest semantics are
+    pytest-asserted (tests/test_export.py)."""
+    import hashlib
+
+    from .export import export_training_shards
+
+    eng = run_flagship(sf_dir)
+    key = hashlib.blake2b(os.path.abspath(sf_dir).encode(), digest_size=6).hexdigest()
+    out = f"/tmp/tartare_ray/export/{key}-{seq_len}"
+    man = export_training_shards(eng, out, seq_len=seq_len, eos=0)
+    return pa.table(
+        {
+            "p": pa.array([s["p"] for s in man["shards"]], pa.int32()),
+            "file": pa.array([s["file"] for s in man["shards"]], pa.string()),
+            "n_seqs": pa.array([s["n_seqs"] for s in man["shards"]], pa.int64()),
+        }
+    )
+
+
 def semi_join(sf_dir: str) -> ray.data.Dataset:
     """Semi-join: customers WITH a qualifying order (broadcast key-set
     membership)."""
@@ -2066,6 +2090,7 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
     "cdc_dedup_index": cdc_dedup_index,
+    "cdc_export_shards": cdc_export_shards,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,

@@ -1,0 +1,87 @@
+"""Training-shard export sink (pipelines/export.py): one resumable
+shard per partition, token conservation, two-phase manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tartare_ray.gen import GenConfig, generate_log
+from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+from tartare_ray.pipelines.export import export_training_shards
+
+SEQ = 64
+
+
+@pytest.fixture()
+def committed(ray_session, tmp_path):
+    log = str(tmp_path / "log")
+    generate_log(log, GenConfig(n_events=5000, n_docs=400, events_per_file=2500))
+    eng = CdcEngine(log, str(tmp_path / "tbl"), EngineConfig(num_partitions=4))
+    eng.replay()
+    return eng, str(tmp_path / "out")
+
+
+def test_export_shards_conserve_tokens(committed):
+    eng, out = committed
+    man = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert len(man["shards"]) == 4 and man["resumed_shards"] == 0
+    assert os.path.exists(os.path.join(out, "_export.json"))
+    # per-partition expected: floor((tokens + one eos per doc) / SEQ),
+    # recomputed from the engine's own partition chains
+    import pyarrow.compute as pc
+
+    from tartare_ray.stages.kernels import hash_partition_ids
+
+    snap = eng.snapshot_table()
+    parts = hash_partition_ids(snap["doc_id"], 4)
+    for s in man["shards"]:
+        sub = snap.filter(pa.array(parts == s["p"]))
+        total = int(pc.sum(pc.list_value_length(sub["tokens"])).as_py() or 0) + len(sub)
+        assert s["n_seqs"] == total // SEQ, s
+        t = pq.read_table(os.path.join(out, s["file"]))
+        assert len(t) == s["n_seqs"]
+        assert t["seq"].type.list_size == SEQ
+        assert t["n_tok"].to_pylist() == [SEQ] * len(t)
+    assert man["n_seqs"] == sum(s["n_seqs"] for s in man["shards"])
+
+
+def test_export_resumes_and_skips_finished_shards(committed):
+    eng, out = committed
+    first = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    # kill one shard; a re-run rewrites ONLY that one
+    victim = first["shards"][2]["file"]
+    os.remove(os.path.join(out, victim))
+    second = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert second["resumed_shards"] == 3
+    assert second["shards"] == first["shards"]  # identical content lineage
+    # byte-identical rewrite of the victim (deterministic packing)
+    t = pq.read_table(os.path.join(out, victim))
+    assert len(t) == first["shards"][2]["n_seqs"]
+
+
+def test_export_manifest_commits_last(committed):
+    """An interrupted export leaves shards but NO _export.json; the
+    re-run adopts them (resume) and only then commits the manifest."""
+    eng, out = committed
+    export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    os.remove(os.path.join(out, "_export.json"))  # simulate pre-commit crash
+    man = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert man["resumed_shards"] == 4
+    with open(os.path.join(out, "_export.json")) as f:
+        assert json.load(f)["n_seqs"] == man["n_seqs"]
+
+
+def test_export_query_contract(ray_session):
+    from tartare_ray.pipelines.queries import cdc_export_shards
+
+    t = cdc_export_shards("/root/testdata/sf0.001")
+    assert t.column_names == ["p", "file", "n_seqs"]
+    assert len(t) >= 1 and sum(t["n_seqs"].to_pylist()) > 0
+    # deterministic across runs (second run resumes)
+    t2 = cdc_export_shards("/root/testdata/sf0.001")
+    assert t.equals(t2)
