@@ -147,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-partitions", type=int, default=64)
 
     sp = sub.add_parser(
+        "export",
+        help="pack the committed snapshot into fixed-length training shards (one resumable file per partition + export manifest)",
+    )
+    add_engine_args(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seq-len", type=int, default=2048)
+    sp.add_argument("--eos", type=int, default=0)
+    sp.add_argument("--epoch", type=int, default=None, help="time-travel export of a retained epoch")
+
+    sp = sub.add_parser(
+        "dedup-index",
+        help="update the incrementally-maintained token-dedup index from the change feed and print duplicate groups",
+    )
+    add_engine_args(sp)
+    sp.add_argument("--name", default="tokfp")
+    sp.add_argument("--show-groups", action="store_true")
+
+    sp = sub.add_parser(
         "sync-replica",
         help="pull a source table's unacked change-feed epochs and replay them into a downstream replica table",
     )
@@ -416,6 +434,33 @@ def main(argv: list[str] | None = None) -> int:
 
     _init_ray()
     eng = _engine(args)
+
+    if args.cmd == "export":
+        from .pipelines.export import export_training_shards
+
+        man = export_training_shards(
+            eng, args.out, seq_len=args.seq_len, eos=args.eos, epoch=args.epoch
+        )
+        print(json.dumps({k: man[k] for k in
+                          ("epoch", "generation", "seq_len", "n_seqs", "resumed_shards")}
+                         | {"shards": len(man["shards"]), "out": args.out}))
+        return 0
+
+    if args.cmd == "dedup-index":
+        from .pipelines.dedup_index import TokenDedupIndex
+
+        idx = TokenDedupIndex(eng, name=args.name)
+        ingested = idx.update()
+        out = {"ingested_epochs": ingested}
+        if args.show_groups:
+            groups = [
+                {"fp": r["fp"], "survivor": r["survivor"], "n_copies": r["n_copies"]}
+                for r in idx.duplicate_groups().take_all()
+            ]
+            out["duplicate_groups"] = sorted(groups, key=lambda g: g["survivor"])
+        print(json.dumps(out))
+        return 0
+
     if args.cmd == "replay":
         m = eng.replay()
         if m is None:
