@@ -69,9 +69,10 @@ class TokenDedupIndex:
             "generation"
         ) == load_generation(self.engine.table_root)
 
-    def _fold_feed(self, epoch: int, ds: ray.data.Dataset) -> pa.Table:
-        """Feed → (doc_id, fp, op, lsn) delta rows.  Tombstones carry a
-        null fp (their tokens are null by construction)."""
+    @staticmethod
+    def _fp_rows(b: pa.Table) -> pa.Table:
+        """Feed batch → (doc_id, fp, op, lsn) delta rows.  Tombstones
+        carry a null fp (their tokens are null by construction)."""
 
         def fp_rows(b: pa.Table) -> pa.Table:
             is_del = pc.fill_null(pc.equal(b["op"], "D"), False)
@@ -112,23 +113,44 @@ class TokenDedupIndex:
                 )
             return pa.concat_tables(parts).combine_chunks()
 
-        out = ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
-        # delta rows are ~40 B each — a 10M-winner epoch folds to ~400 MB
-        # spread over blocks; we concat per epoch (bounded by epoch size,
-        # which the planner already bounds to the object store)
-        tables = list(out.iter_batches(batch_format="pyarrow"))
-        return (
-            pa.concat_tables(tables).combine_chunks()
-            if tables
-            else fp_rows(pa.table({"op": pa.array([], pa.string())}))
-        )
+        return fp_rows(b)
 
-    def _write_epoch(self, epoch: int, delta: pa.Table) -> None:
+    def _write_epoch(self, epoch: int, ds: ray.data.Dataset) -> None:
+        """Distributed delta write: each feed block folds to fp rows
+        and writes its own content-hash-named file into the epoch's
+        tmp dir — the DRIVER never materializes the feed (it only
+        renames the directory).  A retried/crashed attempt starts from
+        a cleared tmp dir and rewrites the same bytes."""
         final = self._epoch_dir(epoch)
         tmp = final + ".inprogress"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        pq.write_table(delta, os.path.join(tmp, "delta.parquet"), compression="zstd")
+        fp_rows = self._fp_rows
+
+        def write_block(b: pa.Table) -> pa.Table:
+            import hashlib
+
+            rows = fp_rows(b)
+            if len(rows):
+                sig = hashlib.blake2b(
+                    rows["lsn"].to_numpy(zero_copy_only=False).tobytes(),
+                    digest_size=8,
+                ).hexdigest()
+                pq.write_table(
+                    rows, os.path.join(tmp, f"delta-{sig}.parquet"), compression="zstd"
+                )
+            return pa.table({"rows": pa.array([len(rows)], pa.int64())})
+
+        n = sum(
+            r["rows"]
+            for r in ds.map_batches(
+                write_block, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )  # O(blocks) lineage rows
+        if n == 0:
+            # an empty feed epoch still needs its marker (so redelivery
+            # detection has something to check) but no data file
+            pass
         m = load_epoch(self.engine.table_root, epoch)
         with open(os.path.join(tmp, "_source.json"), "w") as f:
             json.dump(
@@ -136,6 +158,7 @@ class TokenDedupIndex:
                     "epoch": epoch,
                     "identity": _epoch_identity(m),
                     "generation": load_generation(self.engine.table_root),
+                    "rows": int(n),
                 },
                 f,
             )
@@ -167,7 +190,7 @@ class TokenDedupIndex:
         done = []
         for e, ds in self.engine.consume(self.consumer):
             if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):
-                self._write_epoch(e, self._fold_feed(e, ds))
+                self._write_epoch(e, ds)
             self.engine.ack_changes(self.consumer, e)
             done.append(e)
         return done
@@ -182,7 +205,12 @@ class TokenDedupIndex:
             if n.startswith("fp-e") and not n.endswith(".inprogress"):
                 e = int(n[4:10])
                 if e in committed:
-                    out.append(os.path.join(self.dir, n, "delta.parquet"))
+                    d = os.path.join(self.dir, n)
+                    out.extend(
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.startswith("delta-") and f.endswith(".parquet")
+                    )
         return out
 
     def live_fingerprints(self) -> ray.data.Dataset:

@@ -118,7 +118,7 @@ def test_index_redelivery_is_exactly_once(ray_session, tmp_path):
     # simulate the crash: persist the delta but never ack
     eng.subscribe(idx.consumer)
     for e, ds in eng.consume(idx.consumer):
-        idx._write_epoch(e, idx._fold_feed(e, ds))
+        idx._write_epoch(e, ds)
         break  # no ack
     assert eng.consumers()[idx.consumer] == 0  # cursor did not move
     assert idx.update() == [1]  # redelivery completes and acks
