@@ -56,6 +56,48 @@ def word_hash_lists(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.nda
     return hash_strings(vals, key=WORD_HASH_KEY), offsets
 
 
+POLY_MOD = 50257  # flagship token vocabulary (GPT-2-sized, public constant)
+
+
+def poly_hash_words(vals: np.ndarray, mod: int = POLY_MOD) -> np.ndarray:
+    """Per-word polynomial codepoint hash ``h = (h*31 + codepoint) % mod``.
+
+    Chosen over the keyed SipHash because an INDEPENDENT engine can
+    recompute it — DuckDB expresses it exactly as
+    ``list_reduce(list_prepend(0, list_transform(string_split(w, ''),
+    c -> unicode(c))), (a, b) -> (a*31 + b) % mod)`` — which is what
+    gives the CDC flagship replay a full value-level SQL oracle
+    (ORACLE_SQL['cdc_apply_small'] and friends) instead of a rows-only
+    check.  Vectorized as O(max_word_len) masked numpy passes over a
+    padded UTF-32 view; assumes no NUL codepoints in words (NUL is the
+    padding sentinel — true for any real text corpus)."""
+    n = len(vals)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    u = np.asarray(vals, dtype="U")
+    if u.dtype.itemsize == 0:  # every word is the empty string
+        return np.zeros(n, dtype=np.int64)
+    cp = u.view(np.uint32).reshape(n, -1).astype(np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(cp.shape[1]):
+        c = cp[:, j]
+        m = c != 0
+        if not m.any():
+            break
+        h[m] = (h[m] * 31 + c[m]) % mod
+    return h
+
+
+def word_polyhash_lists(
+    col: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 polynomial word hashes flattened, offsets) per document —
+    the SQL-reproducible sibling of ``word_hash_lists``."""
+    words = word_lists(col)
+    vals, offsets = flat_words(words)
+    return poly_hash_words(vals), offsets
+
+
 def segment_member_counts(
     flat_values: np.ndarray, offsets: np.ndarray, vocab: frozenset[str]
 ) -> np.ndarray:

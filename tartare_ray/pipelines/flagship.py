@@ -7,7 +7,10 @@ This is the driver-contract entry (`__ray_entry__.py::entry`) and the
 derived DETERMINISTICALLY from the documents table (no RNG), in three
 waves that exercise the full semantics:
 
-- wave 0 (insert):  every document; tokens = word-hash % VOCAB (int32)
+- wave 0 (insert):  every document; tokens = polynomial codepoint word
+  hash % VOCAB (int32) — SQL-reproducible (functions/text.py
+  ``poly_hash_words``), so the final replayed state has a FULL value
+  oracle in DuckDB (ORACLE_SQL['cdc_apply_small'])
 - wave 1 (update):  docs with doc_id % 5 < 2 — tokens re-derived with a
   sentinel appended; adds a ``quality: float64`` column (schema
   evolution: add) and, for doc_id % 10 == 0, int64 token values beyond
@@ -39,12 +42,11 @@ VOCAB = 50257
 def _doc_tokens(
     texts: pa.ChunkedArray | pa.Array, wide_mask: np.ndarray, sentinel: int | None
 ) -> tuple[pa.ListArray, np.ndarray]:
-    """tokens per document = word hashes % VOCAB; rows under
-    ``wide_mask`` get int64 values pushed past 2^31 (forces widening);
-    ``sentinel`` (if given) is appended to every sequence (makes update
-    waves distinguishable from inserts)."""
-    wh, offsets = T.word_hash_lists(texts)
-    toks = (wh % np.uint64(VOCAB)).astype(np.int64)
+    """tokens per document = polynomial word hashes (already % VOCAB);
+    rows under ``wide_mask`` get int64 values pushed past 2^31 (forces
+    widening); ``sentinel`` (if given) is appended to every sequence
+    (makes update waves distinguishable from inserts)."""
+    toks, offsets = T.word_polyhash_lists(texts)
     lengths = np.diff(offsets)
     n = len(lengths)
     if sentinel is not None:
@@ -79,7 +81,7 @@ def derive_change_log(sf_dir: str, log_dir: str) -> None:
     (vectorized, file-granular, used by bench.py)."""
     os.makedirs(log_dir, exist_ok=True)
     marker = os.path.join(log_dir, "_COMPLETE")
-    tag = f"flagship-v2-{__version__}-{sf_dir}"
+    tag = f"flagship-v4-{__version__}-{sf_dir}"  # v4: poly-hash tokens
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:
@@ -157,7 +159,7 @@ def derive_change_log(sf_dir: str, log_dir: str) -> None:
 
 def flagship_workdir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/tartare_ray/flagship-v3-{__version__}-{tag}"
+    return f"/tmp/tartare_ray/flagship-v4-{__version__}-{tag}"
 
 
 def run_flagship(sf_dir: str, num_partitions: int = 8) -> CdcEngine:

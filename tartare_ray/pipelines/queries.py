@@ -1612,8 +1612,11 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
 def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
     """Full engine end-to-end on a documents-derived change log
     (insert/update/delete + widen + added column), returning a
-    scalar-only snapshot summary (rows-only driver check; the row-level
-    oracle diff runs in pytest)."""
+    scalar-only snapshot summary.  Value-hash-checked against a
+    declarative DuckDB oracle that rebuilds the final state from the
+    documents table (the token derivation is SQL-reproducible —
+    functions/text.py ``poly_hash_words``); the row-level replay
+    oracle additionally runs in pytest."""
     return flagship_snapshot_summary(sf_dir)
 
 
@@ -1621,8 +1624,9 @@ def cdc_replica_sync(sf_dir: str) -> ray.data.Dataset:
     """Downstream replica synced exactly-once from the flagship
     table's change feed via persisted consumer cursors
     (pipelines/replica.py) — summary of the REPLICA snapshot, which is
-    row-for-row the source's (rows-only driver check; the row-level
-    diff runs in pytest)."""
+    row-for-row the source's, so it shares the source's declarative
+    SQL value oracle (the row-level diff additionally runs in
+    pytest)."""
     return flagship_replica_summary(sf_dir)
 
 
@@ -1630,8 +1634,9 @@ def cdc_incremental_view(sf_dir: str) -> pa.Table:
     """Incrementally-maintained count/sum view over the flagship table
     (pipelines/views.py): folded per-epoch from the change feed —
     retraction of each key's previous state + its new contribution —
-    never rescanning the snapshot.  Rows-only driver check; equality
-    with the direct aggregate is asserted in pytest per epoch."""
+    never rescanning the snapshot.  Value-checked against the direct
+    SQL aggregate of the declaratively-rebuilt final state; per-epoch
+    equality with the direct aggregate is additionally pytest-asserted."""
     from .views import IncrementalAggView
 
     eng = run_flagship(sf_dir)
@@ -1644,7 +1649,8 @@ def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     ``list_flatten`` + ``np.unique`` pre-aggregation (the combiner —
     shuffle carries (token, count) partials, never token lists), exact
     grouped sum, deterministic top-k.  Column-pruned snapshot read.
-    Rows-only driver check (no SQL view holds the tokens column)."""
+    Value-checked against a DuckDB oracle that re-derives the final
+    token state declaratively and unnests it."""
     eng = run_flagship(sf_dir)
     ds = eng.snapshot_dataset(columns=["tokens"])
 
@@ -1805,8 +1811,11 @@ def cdc_token_dedup(sf_dir: str) -> ray.data.Dataset:
     (the input_hint payload): each row's token array folds to one
     order/length-sensitive 64-bit rolling fingerprint per batch, so the
     shuffle moves a uint64 per row — never the lists; groups then keep
-    the min-doc_id survivor + copy count.  Rows-only driver check;
-    planted-duplicate exactness is pytest-asserted."""
+    the min-doc_id survivor + copy count.  Value-checked against a
+    DuckDB oracle that groups by the token ARRAY itself (fingerprint
+    grouping == array grouping barring 64-bit collisions, which the
+    oracle comparison would surface); planted-duplicate exactness is
+    additionally pytest-asserted."""
     eng = run_flagship(sf_dir)
     parts = eng.snapshot_dataset(columns=["doc_id", "tokens"]).map_batches(
         TX.token_fingerprints_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -2489,8 +2498,131 @@ ORACLE_SQL = {
                CAST(1 AS INTEGER) AS n_frames
         FROM documents
     """,
+    # The CDC flagship's final replayed state IS SQL-expressible
+    # because the change log is a pure function of the documents table
+    # and the token derivation is a polynomial codepoint hash DuckDB
+    # can recompute (functions/text.py poly_hash_words).  The shared
+    # CTE below rebuilds the three waves declaratively: wave-1 updates
+    # (doc_id%5<2) append the sentinel 50256 and widen (+2^32) for
+    # doc_id%10=0; wave-2 deletes drop doc_id%10=7.  An independent
+    # oracle for exactly-once replay + latest-LSN-wins + tombstones +
+    # schema evolution, checked value-by-value by the driver.
+    "cdc_apply_small": """
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(w, ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t,
+                   CASE WHEN doc_id % 5 < 2
+                        THEN (doc_id % 100) / 100.0 END AS quality
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
+               CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
+        FROM final
+    """,
+    "cdc_replica_sync": """
+        -- the replica is row-for-row the source table (exactly-once
+        -- change-feed contract), so its oracle is the same final state
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(w, ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t,
+                   CASE WHEN doc_id % 5 < 2
+                        THEN (doc_id % 100) / 100.0 END AS quality
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
+               CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
+        FROM final
+    """,
+    "cdc_incremental_view": """
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n0
+            FROM documents
+        ), final AS (
+            SELECT source,
+                   CASE WHEN doc_id % 5 < 2 THEN n0 + 1 ELSE n0 END AS n_tok
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS DOUBLE) AS sum_n_tok
+        FROM final GROUP BY source
+    """,
+    "cdc_vocab_stats": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(w, ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT CAST(x AS BIGINT) AS token, count(*) AS n
+        FROM (SELECT unnest(t) AS x FROM final)
+        GROUP BY x ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "cdc_token_dedup": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(w, ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT min(doc_id) AS survivor, count(*) AS n_copies,
+               CAST(len(t) AS BIGINT) AS n_tok
+        FROM final GROUP BY t
+    """,
     # lang_id / doc_fingerprint / minhash_lsh_dedup / simhash_dedup /
-    # ngram_jaccard_pairs / ann_lsh_pairs / cdc_* are not
-    # SQL-expressible (heuristic scoring, hash-family-specific
-    # signatures, LSH approximation, stateful replay) → rows-only.
+    # ngram_jaccard_pairs / ann_lsh_pairs / bpe_encode /
+    # cdc_{schema_evolution,pack_sequences,dedup_index,export_shards}
+    # are not SQL-expressible (heuristic scoring, hash-family-specific
+    # signatures/fingerprints, LSH approximation, learned merges,
+    # engine-internal lineage, block-order-dependent packing)
+    # → rows-only with pytest oracles.
 }

@@ -67,7 +67,6 @@ def test_rows_only_queries_run(ray_session):
         "simhash_dedup": ["doc_a", "doc_b", "hamming"],
         "ngram_jaccard_pairs": ["doc_a", "doc_b", "jaccard"],
         "ann_lsh_pairs": ["id_a", "id_b", "cos"],
-        "cdc_apply_small": ["doc_id", "n_tok", "source", "tok_sum", "quality"],
     }
     for name, cols in expected_cols.items():
         assert name in QUERIES and name not in ORACLE_SQL
