@@ -1306,8 +1306,10 @@ def decontaminate(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     scan and broadcast via ``ray.put``; the corpus streams through a
     vectorized sorted-membership test.  At 100 TB the corpus side
     stays a single pruned pass; the eval side is benchmarks (MBs).
-    Rows-only: shingle semantics aren't SQL-expressible (exactness
-    pinned in pytest on planted contamination)."""
+    Value-checked against a DuckDB oracle that materializes the word
+    8-grams as STRINGS (hash equality ⇔ string equality barring 64-bit
+    collisions); exactness additionally pinned in pytest on planted
+    contamination."""
     def eval_pre(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % 25 == 0))
@@ -2678,6 +2680,27 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "decontaminate": """
+        -- word 8-grams as strings; the engine compares 64-bit shingle
+        -- hashes (equal w.h.p. iff the grams are equal)
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws) - 6),
+                       i -> array_to_string(list_slice(ws, i, i + 7), ' ')) AS gs
+            FROM w
+        ), ev AS (
+            SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 25 = 0
+        ), corpus AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 25 <> 0
+        )
+        SELECT doc_id, count(*) AS n_overlap
+        FROM corpus JOIN ev USING (gram)
+        GROUP BY doc_id
     """,
     "stratified_sample": """
         SELECT lang, doc_id, h FROM (
