@@ -61,9 +61,11 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "ann_lsh_pairs",
     "token_rarity",
+    "stratified_sample",
     "ann_topk",
     "multimodal_meta",
     "cdc_pack_sequences",
+    "cdc_time_travel",
 ]
 
 

@@ -16,6 +16,15 @@ Each shard task reads ONLY its partition's chain (PartitionMergeReader
 own file: the export is embarrassingly parallel and its memory bound
 is one partition per task, same as the engine's apply.
 
+INCREMENTAL re-export: each shard records a fingerprint of the chain
+it was packed from.  On the next export (same out_dir, later epoch) a
+partition whose chain is UNCHANGED — untouched by every intervening
+epoch, the common case under zipf-hot workloads — is hardlinked from
+the previous shard instead of re-read and re-packed, so re-export cost
+is proportional to TOUCHED partitions, not table size.  Reuse requires
+identical pack parameters and generation; a missing/mismatched prior
+falls through to a full repack.
+
 Reference analogue `[UNVERIFIED — empty checkout, SURVEY.md §0]`:
 tartare's coverage export — the immutable, dated output artifact —
 re-expressed as a partitioned training-data artifact.
@@ -32,6 +41,16 @@ import ray.data
 
 from ..state.manifest import load_current, load_epoch, load_generation
 from ..stages.pack import pack_batch
+
+
+def chain_fingerprint(chain_json: str) -> str:
+    """Stable fingerprint of a partition chain descriptor (ordered
+    file names + kinds) — equality means the pack input is
+    byte-identical, because chain files are immutable and
+    deterministically named."""
+    import hashlib
+
+    return hashlib.blake2b(chain_json.encode(), digest_size=12).hexdigest()
 
 
 class ExportShardStage:
@@ -70,10 +89,31 @@ class ExportShardStage:
             p = int(row["p"])
             name = f"shard-{p:05d}-e{self.epoch:06d}-g{self.generation}.parquet"
             path = os.path.join(self.out_dir, name)
+            fp = chain_fingerprint(row["chain_json"])
             if os.path.exists(path):  # resume: shard already finished
                 md = pq.ParquetFile(path).metadata
-                out.append((p, name, md.num_rows, True))
+                out.append((p, name, md.num_rows, "resumed", fp))
                 continue
+            prior = row.get("prior_file")
+            if prior and row.get("prior_fp") == fp:
+                # incremental reuse: the chain this partition would be
+                # packed from is byte-identical to the previous
+                # export's — hardlink its shard instead of repacking
+                src = os.path.join(self.out_dir, prior)
+                if os.path.exists(src):
+                    tmp = path + ".inprogress"
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    try:
+                        os.link(src, tmp)
+                    except OSError:  # cross-device / no-hardlink FS
+                        import shutil as _sh
+
+                        _sh.copyfile(src, tmp)
+                    os.replace(tmp, path)
+                    md = pq.ParquetFile(path).metadata
+                    out.append((p, name, md.num_rows, "reused", fp))
+                    continue
             chain = json.loads(row["chain_json"])
             live = read_chain(self.table_root, chain, self.schema)
             packed = pack_batch(
@@ -85,13 +125,14 @@ class ExportShardStage:
             tmp = path + ".inprogress"
             pq.write_table(packed, tmp, compression="zstd")
             os.replace(tmp, path)
-            out.append((p, name, len(packed), False))
+            out.append((p, name, len(packed), "packed", fp))
         return pa.table(
             {
                 "p": pa.array([r[0] for r in out], pa.int32()),
                 "file": pa.array([r[1] for r in out], pa.string()),
                 "n_seqs": pa.array([r[2] for r in out], pa.int64()),
-                "skipped": pa.array([r[3] for r in out], pa.bool_()),
+                "how": pa.array([r[3] for r in out], pa.string()),
+                "chain_fp": pa.array([r[4] for r in out], pa.string()),
             }
         )
 
@@ -114,10 +155,33 @@ def export_training_shards(
         raise FileNotFoundError(f"nothing committed at {engine.table_root}")
     gen = load_generation(engine.table_root)
     os.makedirs(out_dir, exist_ok=True)
-    items = [
-        {"p": p, "chain_json": json.dumps(chain)}
-        for p, chain in sorted(engine._chains(m).items())
-    ]
+    # incremental reuse: index the previous export (same out_dir) by
+    # partition IF its generation + pack parameters match this one
+    prior_by_p: dict[int, dict] = {}
+    prior_path = os.path.join(out_dir, "_export.json")
+    if os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prev = json.load(f)
+        if (
+            prev.get("generation") == gen
+            and prev.get("seq_len") == seq_len
+            and prev.get("eos") == eos
+            and prev.get("pad") == pad
+        ):
+            prior_by_p = {
+                int(s["p"]): s for s in prev.get("shards", []) if s.get("chain_fp")
+            }
+    items = []
+    for p, chain in sorted(engine._chains(m).items()):
+        prior = prior_by_p.get(p, {})
+        items.append(
+            {
+                "p": p,
+                "chain_json": json.dumps(chain),
+                "prior_file": prior.get("file", ""),
+                "prior_fp": prior.get("chain_fp", ""),
+            }
+        )
     lineage = (
         ray.data.from_items(items)
         .map_batches(
@@ -146,10 +210,17 @@ def export_training_shards(
         "pad": pad,
         "n_seqs": int(sum(int(r["n_seqs"]) for r in shards)),
         "shards": [
-            {"p": int(r["p"]), "file": r["file"], "n_seqs": int(r["n_seqs"])}
+            {
+                "p": int(r["p"]),
+                "file": r["file"],
+                "n_seqs": int(r["n_seqs"]),
+                "chain_fp": r["chain_fp"],
+            }
             for r in shards
         ],
-        "resumed_shards": int(sum(bool(r["skipped"]) for r in shards)),
+        "resumed_shards": int(sum(r["how"] == "resumed" for r in shards)),
+        "reused_shards": int(sum(r["how"] == "reused" for r in shards)),
+        "packed_shards": int(sum(r["how"] == "packed" for r in shards)),
     }
     tmp = os.path.join(out_dir, "_export.json.tmp")
     with open(tmp, "w") as f:

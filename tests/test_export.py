@@ -76,6 +76,47 @@ def test_export_manifest_commits_last(committed):
         assert json.load(f)["n_seqs"] == man["n_seqs"]
 
 
+def test_export_incremental_reuse(committed):
+    """After a new epoch that touches ONE partition, re-export reuses
+    (hardlinks) the other shards and repacks only the touched one —
+    and the result is byte-equal to a from-scratch export."""
+    eng, out = committed
+    first = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert first["packed_shards"] == 4 and first["reused_shards"] == 0
+    # touch exactly one doc -> exactly one partition's chain changes
+    from tartare_ray.state.manifest import load_current
+
+    snap = eng.snapshot_table()
+    doc = snap["doc_id"][0].as_py()
+    wm = load_current(eng.table_root).watermark_lsn
+    upd = pa.table(
+        {
+            "lsn": pa.array([wm + 1], pa.int64()),
+            "op": pa.array(["U"], pa.string()),
+            "doc_id": pa.array([doc], pa.string()),
+            "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3], pa.int32()),
+            "source": pa.array(["src0"], pa.string()),
+            "schema_version": pa.array([1], pa.int32()),
+        }
+    )
+    pq.write_table(upd, os.path.join(eng.log_dir, "events-000099.parquet"))
+    eng.replay()
+    second = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert second["reused_shards"] == 3 and second["packed_shards"] == 1
+    assert second["resumed_shards"] == 0
+    # shard-for-shard byte equality with a from-scratch export
+    fresh = export_training_shards(eng, out + "-fresh", seq_len=SEQ, eos=0)
+    assert fresh["packed_shards"] == 4
+    for a, b in zip(second["shards"], fresh["shards"]):
+        ta = pq.read_table(os.path.join(out, a["file"]))
+        tb = pq.read_table(os.path.join(out + "-fresh", b["file"]))
+        assert ta.equals(tb), (a, b)
+    # a third export of the SAME epoch resumes everything (no relink)
+    third = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    assert third["resumed_shards"] == 4
+
+
 def test_export_query_contract(ray_session):
     from tartare_ray.pipelines.queries import cdc_export_shards
 
