@@ -155,6 +155,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seq-len", type=int, default=2048)
     sp.add_argument("--eos", type=int, default=0)
     sp.add_argument("--epoch", type=int, default=None, help="time-travel export of a retained epoch")
+    sp.add_argument(
+        "--drop-duplicates",
+        action="store_true",
+        help="drop exact token-sequence duplicates (min-doc_id survivor) via the incremental dedup index",
+    )
 
     sp = sub.add_parser(
         "dedup-index",
@@ -439,7 +444,12 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.export import export_training_shards
 
         man = export_training_shards(
-            eng, args.out, seq_len=args.seq_len, eos=args.eos, epoch=args.epoch
+            eng,
+            args.out,
+            seq_len=args.seq_len,
+            eos=args.eos,
+            epoch=args.epoch,
+            drop_duplicates=args.drop_duplicates,
         )
         print(json.dumps({k: man[k] for k in
                           ("epoch", "generation", "seq_len", "n_seqs", "resumed_shards")}

@@ -243,6 +243,21 @@ class TokenDedupIndex:
 
         return ds.groupby("doc_id").map_groups(final, batch_format="pyarrow")
 
+    def duplicate_losers(self) -> ray.data.Dataset:
+        """doc_ids that exact token-sequence dedup would DROP — every
+        live doc of a duplicated fingerprint except the min-doc_id
+        survivor.  The filter side of dedup-aware shard export
+        (pipelines/export.py): O(duplicate docs), served from the
+        index, never rescanning the snapshot."""
+
+        def losers(g: pa.Table) -> pa.Table:
+            ids = sorted(g["doc_id"].to_pylist())
+            return pa.table({"doc_id": pa.array(ids[1:], pa.string())})
+
+        return self.live_fingerprints().groupby("fp").map_groups(
+            losers, batch_format="pyarrow"
+        )
+
     def duplicate_groups(self) -> ray.data.Dataset:
         """(fp, survivor, n_copies) for every fingerprint with ≥2 live
         docs — min-doc_id survivor, same contract as cdc_token_dedup

@@ -67,6 +67,8 @@ class ExportShardStage:
         seq_len: int,
         eos: int | None,
         pad: int | None,
+        drop_ref=None,
+        drop_fp: str = "",
     ):
         import base64
 
@@ -78,6 +80,10 @@ class ExportShardStage:
         self.seq_len = seq_len
         self.eos = eos
         self.pad = pad
+        self.drop_ref = drop_ref
+        # dedup exports live under distinct shard names so a same-epoch
+        # resume can never adopt shards packed with a different filter
+        self.tag = f"-dd{drop_fp[:8]}" if drop_fp else ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -87,7 +93,9 @@ class ExportShardStage:
         out = []
         for row in batch.to_pylist():
             p = int(row["p"])
-            name = f"shard-{p:05d}-e{self.epoch:06d}-g{self.generation}.parquet"
+            name = (
+                f"shard-{p:05d}-e{self.epoch:06d}-g{self.generation}{self.tag}.parquet"
+            )
             path = os.path.join(self.out_dir, name)
             fp = chain_fingerprint(row["chain_json"])
             if os.path.exists(path):  # resume: shard already finished
@@ -116,6 +124,16 @@ class ExportShardStage:
                     continue
             chain = json.loads(row["chain_json"])
             live = read_chain(self.table_root, chain, self.schema)
+            if self.drop_ref is not None:
+                import numpy as np
+                import ray
+
+                drop = ray.get(self.drop_ref)  # node-local after first fetch
+                if len(drop) and len(live):
+                    ids = live["doc_id"].combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                    live = live.filter(pa.array(~np.isin(ids, drop)))
             packed = pack_batch(
                 live.select(["tokens"]),
                 seq_len=self.seq_len,
@@ -144,10 +162,20 @@ def export_training_shards(
     eos: int | None = 0,
     pad: int | None = None,
     epoch: int | None = None,
+    drop_duplicates: bool = False,
 ) -> dict:
     """Export the committed snapshot (or a time-travel ``epoch``) as
     packed training shards.  Idempotent + resumable; returns the export
-    manifest (also written as ``out_dir/_export.json``)."""
+    manifest (also written as ``out_dir/_export.json``).
+
+    ``drop_duplicates=True`` composes the incrementally-maintained
+    token dedup index (pipelines/dedup_index.py): exact token-sequence
+    duplicates keep only the min-doc_id survivor.  The loser set —
+    O(duplicate docs), the small side by construction — broadcasts via
+    ``ray.put`` and each shard task filters before packing; incremental
+    shard reuse is additionally gated on a fingerprint of the loser
+    set, because a NEW duplicate elsewhere can change which doc an
+    untouched partition must drop."""
     m = load_current(engine.table_root) if epoch is None else load_epoch(
         engine.table_root, epoch
     )
@@ -155,6 +183,29 @@ def export_training_shards(
         raise FileNotFoundError(f"nothing committed at {engine.table_root}")
     gen = load_generation(engine.table_root)
     os.makedirs(out_dir, exist_ok=True)
+    drop_ref, drop_fp = None, ""
+    if drop_duplicates:
+        import hashlib
+
+        import numpy as np
+
+        from .dedup_index import TokenDedupIndex
+
+        idx = TokenDedupIndex(engine)
+        idx.update()
+        batches = list(idx.duplicate_losers().iter_batches(batch_format="pyarrow"))
+        losers = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.table({"doc_id": pa.array([], pa.string())})
+        )
+        drop = np.sort(
+            np.asarray(losers["doc_id"].to_numpy(zero_copy_only=False), dtype=object)
+        )
+        drop_fp = hashlib.blake2b(
+            "\x00".join(map(str, drop)).encode(), digest_size=12
+        ).hexdigest()
+        drop_ref = ray.put(drop)
     # incremental reuse: index the previous export (same out_dir) by
     # partition IF its generation + pack parameters match this one
     prior_by_p: dict[int, dict] = {}
@@ -167,6 +218,7 @@ def export_training_shards(
             and prev.get("seq_len") == seq_len
             and prev.get("eos") == eos
             and prev.get("pad") == pad
+            and prev.get("drop_fp", "") == drop_fp
         ):
             prior_by_p = {
                 int(s["p"]): s for s in prev.get("shards", []) if s.get("chain_fp")
@@ -194,6 +246,8 @@ def export_training_shards(
                 seq_len,
                 eos,
                 pad,
+                drop_ref,
+                drop_fp,
             ),
             batch_format="pyarrow",
             batch_size=1,
@@ -208,6 +262,7 @@ def export_training_shards(
         "seq_len": seq_len,
         "eos": eos,
         "pad": pad,
+        "drop_fp": drop_fp,
         "n_seqs": int(sum(int(r["n_seqs"]) for r in shards)),
         "shards": [
             {

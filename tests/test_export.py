@@ -117,6 +117,56 @@ def test_export_incremental_reuse(committed):
     assert third["resumed_shards"] == 4
 
 
+def test_export_drop_duplicates(committed):
+    """dedup-aware export: a planted exact token-sequence duplicate
+    (new doc, lexicographically larger id) is dropped; token totals
+    equal a manual pack of the deduped snapshot; toggling dedup on the
+    same epoch can never resume the other mode's shards."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tartare_ray.stages.kernels import hash_partition_ids
+    from tartare_ray.state.manifest import load_current
+
+    eng, out = committed
+    snap = eng.snapshot_table()
+    dup_of = snap["doc_id"][0].as_py()
+    toks = snap["tokens"][0].as_py()
+    wm = load_current(eng.table_root).watermark_lsn
+    upd = pa.table(
+        {
+            "lsn": pa.array([wm + 1], pa.int64()),
+            "op": pa.array(["I"], pa.string()),
+            "doc_id": pa.array(["zzz-dup"], pa.string()),
+            "tokens": pa.array([toks], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(toks)], pa.int32()),
+            "source": pa.array(["src0"], pa.string()),
+            "schema_version": pa.array([1], pa.int32()),
+        }
+    )
+    pq.write_table(upd, os.path.join(eng.log_dir, "events-000099.parquet"))
+    eng.replay()
+    plain = export_training_shards(eng, out, seq_len=SEQ, eos=0)
+    man = export_training_shards(eng, out, seq_len=SEQ, eos=0, drop_duplicates=True)
+    assert man["drop_fp"] and man["resumed_shards"] == 0  # distinct namespace
+    # expected: the deduped snapshot packed per partition
+    snap2 = eng.snapshot_table()
+    keep = pa.array(
+        np.asarray(snap2["doc_id"].to_numpy(zero_copy_only=False), dtype=object)
+        != "zzz-dup"
+    )
+    deduped = snap2.filter(keep)
+    assert len(deduped) == len(snap2) - 1  # the loser existed and is dropped
+    parts = hash_partition_ids(deduped["doc_id"], 4)
+    for s in man["shards"]:
+        sub = deduped.filter(pa.array(parts == s["p"]))
+        total = int(pc.sum(pc.list_value_length(sub["tokens"])).as_py() or 0) + len(sub)
+        assert s["n_seqs"] == total // SEQ, s
+    assert sum(s["n_seqs"] for s in man["shards"]) <= sum(
+        s["n_seqs"] for s in plain["shards"]
+    )
+
+
 def test_export_query_contract(ray_session):
     from tartare_ray.pipelines.queries import cdc_export_shards
 
