@@ -37,10 +37,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per oracle-checkable query; keys absent
-    here (lang_id, fingerprints, LSH pipelines, CDC replay) get the
-    driver's rows-only check — see the note at the bottom of
-    ``tartare_ray/pipelines/queries.py``."""
+    """DuckDB-equivalent SQL per oracle-checkable query — including
+    the CDC replay family, whose final state is rebuilt declaratively
+    from the documents table (SQL-reproducible token hash).  Keys
+    absent here (lang_id, fingerprints, LSH pipelines, engine-internal
+    lineage) get the driver's rows-only check — see the note at the
+    bottom of ``tartare_ray/pipelines/queries.py``."""
     from tartare_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -64,8 +64,12 @@ def poly_hash_words(vals: np.ndarray, mod: int = POLY_MOD) -> np.ndarray:
 
     Chosen over the keyed SipHash because an INDEPENDENT engine can
     recompute it — DuckDB expresses it exactly as
-    ``list_reduce(list_prepend(0, list_transform(string_split(w, ''),
-    c -> unicode(c))), (a, b) -> (a*31 + b) % mod)`` — which is what
+    ``list_reduce(list_prepend(0, list_transform(list_filter(
+    string_split(w, ''), c -> c <> ''), c -> unicode(c))),
+    (a, b) -> (a*31 + b) % mod)`` (the filter covers the empty word:
+    DuckDB's ``string_split('', '')`` is ``['']`` and ``unicode('')``
+    is -1, while this side reduces to the 0 seed; parity is
+    property-tested in tests/test_polyhash_parity.py) — which is what
     gives the CDC flagship replay a full value-level SQL oracle
     (ORACLE_SQL['cdc_apply_small'] and friends) instead of a rows-only
     check.  Vectorized as O(max_word_len) masked numpy passes over a

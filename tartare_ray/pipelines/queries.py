@@ -2635,7 +2635,7 @@ ORACLE_SQL = {
                    list_transform(regexp_split_to_array(trim(text), '\\s+'),
                        w -> list_reduce(
                               list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(w, ''),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
                                                  c -> CAST(unicode(c) AS BIGINT))),
                               (a, b) -> (a * 31 + b) % 50257)) AS t
             FROM documents
@@ -2662,7 +2662,7 @@ ORACLE_SQL = {
                    list_transform(regexp_split_to_array(trim(text), '\\s+'),
                        w -> list_reduce(
                               list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(w, ''),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
                                                  c -> CAST(unicode(c) AS BIGINT))),
                               (a, b) -> (a * 31 + b) % 50257)) AS t
             FROM documents
@@ -2727,7 +2727,7 @@ ORACLE_SQL = {
                    list_transform(regexp_split_to_array(trim(text), '\\s+'),
                        w -> list_reduce(
                               list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(w, ''),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
                                                  c -> CAST(unicode(c) AS BIGINT))),
                               (a, b) -> (a * 31 + b) % 50257)) AS t
             FROM documents
@@ -2766,7 +2766,7 @@ ORACLE_SQL = {
                    list_transform(regexp_split_to_array(trim(text), '\\s+'),
                        w -> list_reduce(
                               list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(w, ''),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
                                                  c -> CAST(unicode(c) AS BIGINT))),
                               (a, b) -> (a * 31 + b) % 50257)) AS t
             FROM documents
@@ -2788,7 +2788,7 @@ ORACLE_SQL = {
                    list_transform(regexp_split_to_array(trim(text), '\\s+'),
                        w -> list_reduce(
                               list_prepend(CAST(0 AS BIGINT),
-                                  list_transform(string_split(w, ''),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
                                                  c -> CAST(unicode(c) AS BIGINT))),
                               (a, b) -> (a * 31 + b) % 50257)) AS t
             FROM documents
