@@ -1763,6 +1763,73 @@ def stratified_sample(sf_dir: str, k: int = 40) -> ray.data.Dataset:
     )
 
 
+def temperature_sample(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-based source rebalancing (T = 0.5): keep
+    ``ceil(sqrt(n_source))`` docs per source, ranked by the
+    SQL-reproducible polynomial hash — the standard multilingual /
+    multi-source mixture flattening (big sources downweighted toward
+    the sqrt of their share).  Two passes: a tiny per-source count
+    aggregate broadcasts the per-group quota, then the same
+    partial-top-k machinery as ``stratified_sample`` with a variable
+    k per group.  Full DuckDB value oracle."""
+    import math
+
+    from ..functions.text import poly_hash_words
+
+    counts: dict[str, int] = {}
+    for b in (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        counts.update(zip(b["source"].to_pylist(), b["n"].to_pylist()))
+    quota = {s: int(math.ceil(math.sqrt(n))) for s, n in counts.items()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string()).combine_chunks()
+        h = poly_hash_words(
+            np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
+        )
+        t = pa.table(
+            {
+                "source": b["source"],
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        ).sort_by(
+            [("source", "ascending"), ("h", "ascending"), ("doc_id", "ascending")]
+        )
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(src)
+        if n == 0:
+            return t
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = src[1:] != src[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        # per-row quota from its run's source — O(runs) dict lookups
+        k_by_row = np.empty(n, dtype=np.int64)
+        starts = np.flatnonzero(new_run)
+        bounds = np.append(starts, n)
+        for i, s0 in enumerate(starts):
+            k_by_row[s0 : bounds[i + 1]] = quota[src[s0]]
+        return t.filter(pa.array((np.arange(n) - run_start) < k_by_row))
+
+    def final(g: pa.Table) -> pa.Table:
+        k = quota[g["source"][0].as_py()]
+        return g.sort_by([("h", "ascending"), ("doc_id", "ascending")]).slice(0, k)
+
+    pre = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        pre.groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+        .select_columns(["source", "doc_id", "h"])
+    )
+
+
 def cdc_time_travel(sf_dir: str) -> ray.data.Dataset:
     """AS-OF-LSN time travel: the flagship table read at the last LSN
     BEFORE the delete wave (``epoch_for_lsn`` resolves it to the
@@ -2254,6 +2321,7 @@ QUERIES = {
     "left_outer_join": left_outer_join,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "temperature_sample": temperature_sample,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -2701,6 +2769,24 @@ ORACLE_SQL = {
         SELECT doc_id, count(*) AS n_overlap
         FROM corpus JOIN ev USING (gram)
         GROUP BY doc_id
+    """,
+    "temperature_sample": """
+        SELECT source, doc_id, h FROM (
+            SELECT source, doc_id, h,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h ASC, doc_id ASC) AS rnk,
+                   count(*) OVER (PARTITION BY source) AS n_src
+            FROM (
+                SELECT source, doc_id,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(
+                                   string_split(CAST(doc_id AS VARCHAR), ''),
+                                   c -> CAST(unicode(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 50257) AS h
+                FROM documents
+            )
+        ) WHERE rnk <= CAST(ceil(sqrt(n_src)) AS BIGINT)
     """,
     "stratified_sample": """
         SELECT lang, doc_id, h FROM (
