@@ -2085,7 +2085,18 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
 
         return j.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
 
-    t = pa.concat_tables(right.iter_batches(batch_format="pyarrow"))
+    rb = list(right.iter_batches(batch_format="pyarrow"))
+    t = (
+        pa.concat_tables(rb)
+        if rb
+        else pa.table(  # no order passed the predicate: all-left fill
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "n_big_orders": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    )
     k = t["o_custkey"].to_numpy().astype(np.int64)
     order = np.argsort(k, kind="stable")
     ref = ray.put(
