@@ -1542,6 +1542,15 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
         zero_copy_batch=True,
         concurrency=_conc(),
     )
+    # Ray's sort-based groupby pays a fixed per-block cost (sample +
+    # partition + merge tasks): on a small embeddings table split into
+    # 64 read blocks that fixed cost IS the query (measured 4.3 s of a
+    # 5.5 s wall at sf0.1 for 16k bucket rows).  Consolidate blocks
+    # first when the INPUT FILE is small — a driver-side stat, no data
+    # read; at real scale the gate stays open and the sort keeps its
+    # parallelism.
+    if os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) < (256 << 20):
+        buckets = buckets.repartition(8)
     pairs = buckets.groupby(["table", "bucket"]).map_groups(
         lambda g: S.bucket_pairs_verify(g, threshold=threshold),
         batch_format="pyarrow",
