@@ -1098,6 +1098,20 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # Near-dup dedup suite (rows-only driver checks; semantics tested in pytest)
 # --------------------------------------------------------------------------
 
+def _consolidate_small(
+    ds: ray.data.Dataset, sf_dir: str, table: str, limit: int = 256 << 20, blocks: int = 8
+) -> ray.data.Dataset:
+    """Ray's sort-based groupby pays a fixed per-block cost (sample +
+    partition + merge tasks); on a small table split into 64 read
+    blocks that fixed cost dominates the query (measured 4.3 s of a
+    5.5 s ann_lsh_pairs wall at sf0.1).  Consolidate blocks when the
+    SOURCE FILE is small — a driver-side stat, no data read; at real
+    scale the gate stays open and the groupby keeps its parallelism."""
+    if os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) < limit:
+        return ds.repartition(blocks)
+    return ds
+
+
 def _pairs_from_buckets(bucketed: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
     pairs = bucketed.groupby(keys).map_groups(
         D.bucket_pairs_group, batch_format="pyarrow"
@@ -1262,10 +1276,14 @@ def _minhash_candidates(sf_dir: str):
     """Shared LSH candidate machinery: one text pass → signatures →
     band rows → bucket pairs (distinct)."""
     sigs = _sig_dataset(sf_dir, D.MinHashSignatureStage, num_perms=64, bands=16)
-    bands = sigs.map_batches(
-        lambda b: D.minhash_bands_from_sigs_batch(b, bands=16),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    bands = _consolidate_small(
+        sigs.map_batches(
+            lambda b: D.minhash_bands_from_sigs_batch(b, bands=16),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sf_dir,
+        "documents",
     )
     return _pairs_from_buckets(bands, ["band", "band_key"]), sigs
 
@@ -1285,10 +1303,14 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash(64-bit) near-dup pairs within Hamming distance 3 via
     4-block pigeonhole LSH."""
     sigs = _sig_dataset(sf_dir, D.SimHashSignatureStage, blocks=4)
-    blocks = sigs.map_batches(
-        lambda b: D.simhash_blocks_from_sigs_batch(b, blocks=4),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    blocks = _consolidate_small(
+        sigs.map_batches(
+            lambda b: D.simhash_blocks_from_sigs_batch(b, blocks=4),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sf_dir,
+        "documents",
     )
     pairs = _pairs_from_buckets(blocks, ["block", "block_val"])
     return _attach_sigs(pairs, sigs, is_list=False).map_batches(
@@ -1542,15 +1564,7 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
         zero_copy_batch=True,
         concurrency=_conc(),
     )
-    # Ray's sort-based groupby pays a fixed per-block cost (sample +
-    # partition + merge tasks): on a small embeddings table split into
-    # 64 read blocks that fixed cost IS the query (measured 4.3 s of a
-    # 5.5 s wall at sf0.1 for 16k bucket rows).  Consolidate blocks
-    # first when the INPUT FILE is small — a driver-side stat, no data
-    # read; at real scale the gate stays open and the sort keeps its
-    # parallelism.
-    if os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) < (256 << 20):
-        buckets = buckets.repartition(8)
+    buckets = _consolidate_small(buckets, sf_dir, "embeddings")
     pairs = buckets.groupby(["table", "bucket"]).map_groups(
         lambda g: S.bucket_pairs_verify(g, threshold=threshold),
         batch_format="pyarrow",
