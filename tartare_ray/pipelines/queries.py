@@ -2319,6 +2319,7 @@ QUERIES = {
     #   token-sequence dedup
     "token_rarity": token_rarity,
     "stratified_sample": stratified_sample,
+    "temperature_sample": temperature_sample,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
     "cdc_dedup_index": cdc_dedup_index,
@@ -2352,10 +2353,9 @@ QUERIES = {
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     "ngram_topk": ngram_topk,
-    "left_outer_join": left_outer_join,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
-    "temperature_sample": temperature_sample,
+    "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
