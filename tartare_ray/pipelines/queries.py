@@ -31,6 +31,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import text as FT
 from ..stages import dedup as D
+from ..stages import graph as G
 from ..stages import multimodal as MM
 from ..stages import similarity as S
 from ..stages import text as TX
@@ -1402,6 +1403,59 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset
     )
 
 
+def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data.Dataset:
+    """Transitive dedup CLUSTERS: connected components over the
+    shared-word-8-gram graph, labeled by the component's min doc_id
+    (the canonical survivor).  Pair lists alone over/under-delete —
+    A~B and B~C must collapse to ONE survivor, which needs the
+    transitive closure, not the pair set.
+
+    Shape: one text pass explodes distinct (gram, doc_id) rows; the
+    per-gram groupby emits pairs (grams shared by > ``max_gram_docs``
+    docs are stop-grams — uninformative, quadratic, dropped on BOTH
+    engines); pairs dedup through the same aggregate the LSH family
+    uses; then ``stages/graph.py`` min-label propagation.  Every
+    shuffle moves fixed-width int64 rows — the text never leaves the
+    first stage.  Value-oracled against a DuckDB recursive CTE over
+    STRING grams (hash equality ⇔ gram equality w.h.p., the
+    decontaminate convention).
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = _consolidate_small(
+        docs.map_batches(
+            lambda b: D.gram_doc_batch(b, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sf_dir,
+        "documents",
+    )
+    pairs = grams.groupby("gram").map_groups(
+        lambda g: D.bucket_pairs_group(g, max_bucket=max_gram_docs),
+        batch_format="pyarrow",
+    )
+    edges = _pairs_norm(
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_grams"))
+        .select_columns(["doc_a", "doc_b"])
+    ).map_batches(
+        lambda b: pa.table({"u": b["doc_a"], "v": b["doc_b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = G.connected_components(edges, nodes, num_partitions=_size_parts(edges))
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -2324,6 +2378,7 @@ QUERIES = {
     "cdc_token_dedup": cdc_token_dedup,
     "cdc_dedup_index": cdc_dedup_index,
     "cdc_export_shards": cdc_export_shards,
+    "dedup_clusters": dedup_clusters,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
@@ -2352,9 +2407,9 @@ QUERIES = {
     "tokens_per_lang": tokens_per_lang,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
-    "ngram_topk": ngram_topk,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
@@ -2782,6 +2837,34 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "dedup_clusters": """
+        -- transitive closure of the shared-word-8-gram graph via a
+        -- recursive min-label CTE; the engine compares 64-bit shingle
+        -- hashes (equal w.h.p. iff the grams are equal) and propagates
+        -- labels with Ray joins/groupbys instead
+        WITH RECURSIVE w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(ws) - 6),
+                       i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS gram
+            FROM w
+        ), ok AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 16
+        ), e AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM g a JOIN g b USING (gram)
+            WHERE gram IN (SELECT gram FROM ok) AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+            SELECT e.u, r.label FROM e JOIN reach r ON r.node = e.v
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
     """,
     "decontaminate": """
         -- word 8-grams as strings; the engine compares 64-bit shingle

@@ -249,6 +249,31 @@ def shingle_binary_batch(batch: pa.Table, key: str = "doc_id", out: str = "sig")
     return pa.table({key: ids, out: pa.array(cells, pa.binary())})
 
 
+def gram_doc_batch(batch: pa.Table, k: int = 8) -> pa.Table:
+    """documents batch → DISTINCT (gram, doc_id) rows over word-``k``-
+    gram shingle hashes — the inverted-index explode feeding the
+    shared-shingle dedup graph (``queries.dedup_clusters``).
+
+    Docs shorter than ``k`` words emit NOTHING: ``shingle_hashes``
+    backfills their word hashes as pseudo-shingles (right for MinHash,
+    where no doc may be shingle-less), but the SQL oracle's gram list
+    is empty there, so we mask those rows out for exact parity.
+    """
+    wh, offsets = T.word_hash_lists(batch["text"])
+    sh, sho = shingle_hashes(wh, offsets, k=k)
+    lengths = np.diff(np.asarray(offsets, dtype=np.int64))
+    counts = np.diff(sho)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    g = sh[np.repeat(lengths >= k, counts)].view(np.int64)
+    d = np.repeat(ids, counts)[np.repeat(lengths >= k, counts)]
+    order = np.lexsort((g, d))
+    g, d = g[order], d[order]
+    keep = np.ones(len(g), bool)
+    if len(g):
+        keep[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+    return pa.table({"gram": pa.array(g[keep]), "doc_id": pa.array(d[keep])})
+
+
 def eval_shingles(texts: pa.ChunkedArray | pa.Array, k: int) -> np.ndarray:
     """Sorted unique word-``k``-gram hashes of a benchmark/eval corpus
     — the broadcast side of decontamination."""

@@ -1,0 +1,100 @@
+"""Connected-components primitive (stages/graph.py) vs a reference
+union-find, plus the dedup_clusters survivor semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _uf_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # canonical label = min node id of the component
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _run_cc(nodes, edges, **kw):
+    from tartare_ray.stages.graph import connected_components
+
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    n = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    res = connected_components(e, n, **kw)
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    return dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = [tuple(sorted(p)) for p in rng.integers(0, n, size=(45, 2)) if p[0] != p[1]]
+    got = _run_cc(list(range(n)), edges)
+    assert got == _uf_labels(n, edges)
+
+
+def test_cc_chain_star_isolated_and_duplicates(ray_session):
+    # a 7-chain (diameter stress), a star, reversed + duplicate edges,
+    # and isolated nodes 100/101
+    edges = [(1, 2), (3, 2), (3, 4), (5, 4), (5, 6), (7, 6), (7, 8)]
+    edges += [(20, 21), (20, 22), (22, 20), (20, 21)]
+    nodes = [1, 2, 3, 4, 5, 6, 7, 8, 20, 21, 22, 100, 101]
+    got = _run_cc(nodes, edges)
+    assert {k: v for k, v in got.items() if k <= 8} == {i: 1 for i in range(1, 9)}
+    assert got[20] == got[21] == got[22] == 20
+    assert got[100] == 100 and got[101] == 101
+
+
+def test_cc_no_edges_is_identity(ray_session):
+    got = _run_cc([4, 9, 2], [])
+    assert got == {4: 4, 9: 9, 2: 2}
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    from tartare_ray.stages.graph import connected_components
+
+    e = ray.data.from_arrow(
+        pa.table({"u": pa.array([0, 1, 2], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())})
+    )
+    n = ray.data.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, n, max_iters=1)
+
+
+def test_dedup_clusters_survivor_is_component_min(ray_session):
+    from tartare_ray.pipelines.queries import dedup_clusters
+
+    res = dedup_clusters("/root/testdata/sf0.001")
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    ids = t["doc_id"].to_pylist()
+    labels = t["cluster_id"].to_pylist()
+    assert sorted(ids) == sorted(set(ids))  # one row per doc
+    by_label = {}
+    for i, l in zip(ids, labels):
+        by_label.setdefault(l, []).append(i)
+    for l, members in by_label.items():
+        assert l == min(members)  # survivor = component min
