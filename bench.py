@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "cdc_pack_sequences",
     "cdc_time_travel",
+    "dedup_clusters",
 ]
 
 

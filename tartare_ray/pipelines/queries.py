@@ -1300,6 +1300,55 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     )
 
 
+def minhash_cluster_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Near-dup CLUSTERS over the VERIFIED MinHash/LSH pair graph —
+    the scale path's cluster step: A~B and B~C collapse transitively
+    to one survivor via ``stages/graph.py`` connected components.
+    Output is one row per doc in a non-singleton cluster
+    (doc_id, cluster_id = component min = survivor); the loser list
+    (doc_id != cluster_id) is the deletion set a dedup pass applies.
+    Rows-only (LSH candidate generation is not SQL-expressible); the
+    cluster semantics are pinned in pytest against union-find over
+    the same verified pairs, and the CC machinery itself carries the
+    ``dedup_clusters`` value oracle."""
+    verified = minhash_lsh_dedup(sf_dir, threshold=threshold)
+    edges = _pairs_norm(verified.select_columns(["doc_a", "doc_b"])).map_batches(
+        lambda b: pa.table({"u": b["doc_a"], "v": b["doc_b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # nodes = docs touched by an edge; the singleton complement is the
+    # rest of the corpus and stays out of the output by construction
+    nodes = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": np.unique(
+                        np.concatenate(
+                            [
+                                b["u"].to_numpy(zero_copy_only=False),
+                                b["v"].to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["node"])
+    )
+    nodes = _pairs_norm(nodes)
+    labels = G.connected_components(edges, nodes, num_partitions=_size_parts(edges))
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash(64-bit) near-dup pairs within Hamming distance 3 via
     4-block pigeonhole LSH."""
@@ -1429,8 +1478,55 @@ def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data
         ),
         sf_dir,
         "documents",
+    ).materialize()  # consumed twice: count pass + pair pass (one text read)
+    # Most grams are unique to one doc; a per-gram map_groups over ALL
+    # of them is per-group Python over a corpus-sized group count.
+    # Instead: one VECTORIZED Count aggregate → keep only shared grams
+    # (2..max docs, the stop-gram cap both engines apply) → pair-emit
+    # just those groups.  The shared set is bounded by the near-dup
+    # volume, so it broadcasts when small (the _attach_sigs size gate);
+    # a hash join covers the big-side fallback.
+    shared = (
+        grams.groupby("gram")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b["n_docs"], 2),
+                    pc.less_equal(b["n_docs"], max_gram_docs),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["gram"])
+        .materialize()
     )
-    pairs = grams.groupby("gram").map_groups(
+    if (shared.size_bytes() or 0) <= 256 << 20:
+        sh = np.sort(
+            np.concatenate(
+                [t["gram"].to_numpy(zero_copy_only=False) for t in shared.iter_batches(batch_format="pyarrow")]
+                + [np.array([], dtype=np.int64)]
+            )
+        )
+        sh_ref = ray.put(sh)
+
+        def keep_shared(b: pa.Table) -> pa.Table:
+            s = ray.get(sh_ref)
+            g = b["gram"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(s, g)
+            hit = (pos < len(s)) & (s[np.minimum(pos, max(len(s) - 1, 0))] == g) if len(s) else np.zeros(len(g), bool)
+            return b.filter(pa.array(hit))
+
+        src = grams.map_batches(keep_shared, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        src = grams.join(
+            shared,
+            join_type="inner",
+            num_partitions=_size_parts(grams),
+            on=("gram",),
+        )
+    pairs = src.groupby("gram").map_groups(
         lambda g: D.bucket_pairs_group(g, max_bucket=max_gram_docs),
         batch_format="pyarrow",
     )
@@ -2414,6 +2510,7 @@ QUERIES = {
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
+    "minhash_cluster_dedup": minhash_cluster_dedup,
     "simhash_dedup": simhash_dedup,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,

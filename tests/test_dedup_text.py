@@ -239,3 +239,33 @@ def test_decontaminate_query(ray_session):
     # eval docs themselves are excluded from the report
     assert not (df.doc_id % 25 == 0).any()
     assert (df.n_overlap >= 1).all()
+
+
+def test_minhash_cluster_collapses_planted_family(planted_dir, ray_session):
+    """Cluster step: verified pairs → connected components → one
+    survivor per family; matches union-find over the same pairs."""
+    from tartare_ray.pipelines.queries import minhash_cluster_dedup, minhash_lsh_dedup
+
+    pairs = _pairs(minhash_lsh_dedup(planted_dir, threshold=0.5))
+    df = minhash_cluster_dedup(planted_dir, threshold=0.5).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["cluster_id"].astype(int)))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), []).append(x)
+    expected = {x: min(m) for m in comps.values() for x in m}
+    assert got == expected
+    # the planted family is connected: 0/1 identical, 2=0+tail, 3 near —
+    # all must share survivor 0
+    assert got.get(1) == 0 and got.get(2) == 0
