@@ -45,10 +45,16 @@ from ..stages.text import token_fingerprints_batch
 from .replica import _epoch_identity
 
 
-class TokenDedupIndex:
-    """See module docstring.  One instance per (table, name)."""
+class EpochDeltaIndex:
+    """Epoch-delta persistence shared by the incremental indexes
+    (token fingerprints here; MinHash signatures in
+    ``pipelines/minhash_index.py``): consumer-cursor feed consumption,
+    tmp+rename exactly-once delta directories keyed by source epoch,
+    lineage/generation markers for rollback hygiene.  Subclasses set
+    ``_delta_rows`` (a staticmethod: feed batch → delta rows, columns
+    (doc_id, <payload…>, op, lsn)) and add their query methods."""
 
-    def __init__(self, engine, name: str = "tokfp"):
+    def __init__(self, engine, name: str):
         self.engine = engine
         self.name = name
         self.dir = os.path.join(engine.table_root, "_indexes", name)
@@ -70,7 +76,111 @@ class TokenDedupIndex:
         ) == load_generation(self.engine.table_root)
 
     @staticmethod
-    def _fp_rows(b: pa.Table) -> pa.Table:
+    def _delta_rows(b: pa.Table) -> pa.Table:
+        raise NotImplementedError
+
+    def _write_epoch(self, epoch: int, ds: ray.data.Dataset) -> None:
+        """Distributed delta write: each feed block folds to delta rows
+        and writes its own content-hash-named file into the epoch's
+        tmp dir — the DRIVER never materializes the feed (it only
+        renames the directory).  A retried/crashed attempt starts from
+        a cleared tmp dir and rewrites the same bytes."""
+        final = self._epoch_dir(epoch)
+        tmp = final + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        rows_fn = type(self)._delta_rows
+
+        def write_block(b: pa.Table) -> pa.Table:
+            import hashlib
+
+            rows = rows_fn(b)
+            if len(rows):
+                sig = hashlib.blake2b(
+                    rows["lsn"].to_numpy(zero_copy_only=False).tobytes(),
+                    digest_size=8,
+                ).hexdigest()
+                pq.write_table(
+                    rows, os.path.join(tmp, f"delta-{sig}.parquet"), compression="zstd"
+                )
+            return pa.table({"rows": pa.array([len(rows)], pa.int64())})
+
+        n = sum(
+            r["rows"]
+            for r in ds.map_batches(
+                write_block, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )  # O(blocks) lineage rows
+        m = load_epoch(self.engine.table_root, epoch)
+        with open(os.path.join(tmp, "_source.json"), "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "identity": _epoch_identity(m),
+                    "generation": load_generation(self.engine.table_root),
+                    "rows": int(n),
+                },
+                f,
+            )
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    # -- maintenance ---------------------------------------------------------
+    def update(self) -> list[int]:
+        """Consume every unacked epoch's feed into delta rows.
+        Incremental + idempotent; returns the epochs ingested."""
+        os.makedirs(self.dir, exist_ok=True)
+        cursor = self.engine.subscribe(self.consumer)
+        # rollback hygiene: a delta is stale iff its epoch is no longer
+        # committed OR sits ABOVE the acked cursor (``rollback_to``
+        # clamps cursors to the rollback target, so everything above
+        # gets redelivered — possibly with identical lineage but
+        # different values; everything at or below was never rolled
+        # back and its old-generation delta remains valid)
+        committed = set(list_committed_epochs(self.engine.table_root))
+        for n in os.listdir(self.dir):
+            if not n.startswith("fp-e"):
+                continue
+            if n.endswith(".inprogress"):
+                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+                continue
+            e = int(n[4:10])
+            if e not in committed or e > cursor:
+                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+        done = []
+        for e, ds in self.engine.consume(self.consumer):
+            if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):
+                self._write_epoch(e, ds)
+            self.engine.ack_changes(self.consumer, e)
+            done.append(e)
+        return done
+
+    def _delta_files(self) -> list[str]:
+        committed = set(list_committed_epochs(self.engine.table_root))
+        out = []
+        if not os.path.isdir(self.dir):
+            return out
+        for n in sorted(os.listdir(self.dir)):
+            if n.startswith("fp-e") and not n.endswith(".inprogress"):
+                e = int(n[4:10])
+                if e in committed:
+                    d = os.path.join(self.dir, n)
+                    out.extend(
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.startswith("delta-") and f.endswith(".parquet")
+                    )
+        return out
+
+
+class TokenDedupIndex(EpochDeltaIndex):
+    """See module docstring.  One instance per (table, name)."""
+
+    def __init__(self, engine, name: str = "tokfp"):
+        super().__init__(engine, name)
+
+    @staticmethod
+    def _delta_rows(b: pa.Table) -> pa.Table:
         """Feed batch → (doc_id, fp, op, lsn) delta rows.  Tombstones
         carry a null fp (their tokens are null by construction)."""
 
@@ -115,104 +225,7 @@ class TokenDedupIndex:
 
         return fp_rows(b)
 
-    def _write_epoch(self, epoch: int, ds: ray.data.Dataset) -> None:
-        """Distributed delta write: each feed block folds to fp rows
-        and writes its own content-hash-named file into the epoch's
-        tmp dir — the DRIVER never materializes the feed (it only
-        renames the directory).  A retried/crashed attempt starts from
-        a cleared tmp dir and rewrites the same bytes."""
-        final = self._epoch_dir(epoch)
-        tmp = final + ".inprogress"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        fp_rows = self._fp_rows
-
-        def write_block(b: pa.Table) -> pa.Table:
-            import hashlib
-
-            rows = fp_rows(b)
-            if len(rows):
-                sig = hashlib.blake2b(
-                    rows["lsn"].to_numpy(zero_copy_only=False).tobytes(),
-                    digest_size=8,
-                ).hexdigest()
-                pq.write_table(
-                    rows, os.path.join(tmp, f"delta-{sig}.parquet"), compression="zstd"
-                )
-            return pa.table({"rows": pa.array([len(rows)], pa.int64())})
-
-        n = sum(
-            r["rows"]
-            for r in ds.map_batches(
-                write_block, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all()
-        )  # O(blocks) lineage rows
-        if n == 0:
-            # an empty feed epoch still needs its marker (so redelivery
-            # detection has something to check) but no data file
-            pass
-        m = load_epoch(self.engine.table_root, epoch)
-        with open(os.path.join(tmp, "_source.json"), "w") as f:
-            json.dump(
-                {
-                    "epoch": epoch,
-                    "identity": _epoch_identity(m),
-                    "generation": load_generation(self.engine.table_root),
-                    "rows": int(n),
-                },
-                f,
-            )
-        shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp, final)
-
-    # -- maintenance ---------------------------------------------------------
-    def update(self) -> list[int]:
-        """Consume every unacked epoch's feed into fingerprint deltas.
-        Incremental + idempotent; returns the epochs ingested."""
-        os.makedirs(self.dir, exist_ok=True)
-        cursor = self.engine.subscribe(self.consumer)
-        # rollback hygiene: a delta is stale iff its epoch is no longer
-        # committed OR sits ABOVE the acked cursor (``rollback_to``
-        # clamps cursors to the rollback target, so everything above
-        # gets redelivered — possibly with identical lineage but
-        # different values; everything at or below was never rolled
-        # back and its old-generation delta remains valid)
-        committed = set(list_committed_epochs(self.engine.table_root))
-        for n in os.listdir(self.dir):
-            if not n.startswith("fp-e"):
-                continue
-            if n.endswith(".inprogress"):
-                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
-                continue
-            e = int(n[4:10])
-            if e not in committed or e > cursor:
-                shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
-        done = []
-        for e, ds in self.engine.consume(self.consumer):
-            if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):
-                self._write_epoch(e, ds)
-            self.engine.ack_changes(self.consumer, e)
-            done.append(e)
-        return done
-
     # -- queries --------------------------------------------------------------
-    def _delta_files(self) -> list[str]:
-        committed = set(list_committed_epochs(self.engine.table_root))
-        out = []
-        if not os.path.isdir(self.dir):
-            return out
-        for n in sorted(os.listdir(self.dir)):
-            if n.startswith("fp-e") and not n.endswith(".inprogress"):
-                e = int(n[4:10])
-                if e in committed:
-                    d = os.path.join(self.dir, n)
-                    out.extend(
-                        os.path.join(d, f)
-                        for f in sorted(os.listdir(d))
-                        if f.startswith("delta-") and f.endswith(".parquet")
-                    )
-        return out
-
     def live_fingerprints(self) -> ray.data.Dataset:
         """(doc_id, fp) of the CURRENT live state: latest-LSN record
         per doc_id across all deltas, deletes dropped — the same

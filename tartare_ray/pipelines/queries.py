@@ -2166,6 +2166,24 @@ def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     return idx.live_fingerprints()
 
 
+def cdc_minhash_index(sf_dir: str) -> ray.data.Dataset:
+    """Incrementally-maintained MINHASH near-dup index
+    (pipelines/minhash_index.py): the flagship table's change feed
+    folds per epoch into 512-byte signature deltas (consumer cursors,
+    exactly-once), and near-dup pairs are served by banded LSH over
+    the LIVE SIGNATURES — each row's tokens are hashed once per
+    lifetime, at feed time; no snapshot rescan.  Rows-only driver
+    check; planted-near-dup detection, incremental updates, and
+    equality with direct snapshot signatures are pytest-asserted
+    (tests/test_minhash_index.py)."""
+    from .minhash_index import MinHashIndex
+
+    eng = run_flagship(sf_dir)
+    idx = MinHashIndex(eng)
+    idx.update()
+    return idx.near_dup_pairs(threshold=0.5)
+
+
 def cdc_export_shards(sf_dir: str, seq_len: int = 256) -> pa.Table:
     """Training-shard export sink (pipelines/export.py): the committed
     flagship snapshot packed into fixed-length sequences, one resumable
@@ -2505,6 +2523,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "cdc_minhash_index": cdc_minhash_index,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
