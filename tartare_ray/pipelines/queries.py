@@ -1452,6 +1452,124 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset
     )
 
 
+def word_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unigram (word) entropy — the information-theoretic
+    quality signal (low-entropy docs are boilerplate/repetition).
+    Pure per-doc map: ONE vectorized pass, no shuffle at any scale.
+    H = log2(n) − Σ c·log2(c)/n over per-doc word counts, computed as
+    run lengths of one lexsort over (doc, word-hash) — hash equality ⇔
+    word equality w.h.p. (house convention); value-oracled 6dp."""
+
+    def ent(b: pa.Table) -> pa.Table:
+        wh, off = FT.word_hash_lists(b["text"])
+        lengths = np.diff(off)
+        didx = np.repeat(np.arange(len(b)), lengths)
+        order = np.lexsort((wh, didx))
+        h, d = wh[order], didx[order]
+        new = np.ones(len(h), bool)
+        if len(h):
+            new[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        run_starts = np.flatnonzero(new)
+        counts = np.diff(np.append(run_starts, len(h)))
+        run_doc = d[run_starts]
+        s = counts * np.log2(counts)
+        doc_start = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]]) if len(
+            run_doc
+        ) else np.array([], dtype=np.int64)
+        sum_s = np.add.reduceat(s, doc_start) if len(s) else np.zeros(0)
+        present = run_doc[doc_start] if len(run_doc) else np.array([], dtype=np.int64)
+        n = lengths[present].astype(np.float64)
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(present)),
+                "n_words": pa.array(lengths[present].astype(np.int64)),
+                "entropy": pa.array(np.round(np.log2(n) - sum_s / n, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Self-corpus bigram-LM cross-entropy per doc — the KenLM-shaped
+    quality score of training-data curation: score(d) = −(1/m) Σ
+    log2 P(w2|w1) with P from CORPUS bigram counts (the corpus includes
+    the doc, so every bigram has count ≥ 1 — no OOV backoff needed).
+
+    Scale shape: one text pass emits (doc, w1-hash, bigram-hash) rows;
+    TWO vectorized Count groupbys give the corpus tables; two hash
+    joins attach the counts back; a final Sum/Count groupby folds per
+    doc.  Everything shuffled is fixed-width int64 — the text never
+    leaves the first stage, and no vocabulary is broadcast (the count
+    tail is most of the vocab; joins keep it partitioned)."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import shingle_hashes as _sh
+
+        wh, off = FT.word_hash_lists(b["text"])
+        lengths = np.diff(off)
+        sh, sho = _sh(wh, off, k=2)
+        # mask out the <2-word fallback (SQL emits no bigrams there)
+        bh = sh[np.repeat(lengths >= 2, np.diff(sho))]
+        keep = np.ones(len(wh), bool)
+        if len(wh):
+            keep[off[1:] - 1] = False  # drop each doc's last word → w1 stream
+        w1h = wh[keep]
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        reps = np.maximum(lengths - 1, 0)
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(np.repeat(np.arange(len(b)), reps))),
+                "w1h": pa.array(w1h.view(np.int64)),
+                "bh": pa.array(bh.view(np.int64)),
+            }
+        )
+
+    bg = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # consumed three times: two counts + the join spine
+    )
+    cb = _pairs_norm(bg.groupby("bh").aggregate(Count(alias_name="cb")))
+    c1 = _pairs_norm(bg.groupby("w1h").aggregate(Count(alias_name="c1")))
+    nparts = _size_parts(bg)
+    j = bg.join(
+        cb, join_type="inner", num_partitions=nparts, on=("bh",)
+    ).join(c1, join_type="inner", num_partitions=nparts, on=("w1h",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        xl = np.log2(b["c1"].to_numpy(zero_copy_only=False).astype(np.float64)) - np.log2(
+            b["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table({"doc_id": b["doc_id"], "xl": pa.array(xl)})
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("xl", alias_name="sxl"), Count(alias_name="n_bigrams"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        m = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["sxl"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": b["n_bigrams"],
+                "cross_entropy": pa.array(np.round(s / m, 6)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data.Dataset:
     """Transitive dedup CLUSTERS: connected components over the
     shared-word-8-gram graph, labeled by the component's min doc_id
@@ -2524,6 +2642,8 @@ QUERIES = {
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "cdc_minhash_index": cdc_minhash_index,
+    "word_entropy": word_entropy,
+    "bigram_logprob": bigram_logprob,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
@@ -2953,6 +3073,42 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "word_entropy": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(ws) AS word FROM w
+        ), c AS (
+            SELECT doc_id, word, count(*) AS c FROM t GROUP BY doc_id, word
+        ), a AS (
+            SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+               round(log2(n) - s / n, 6) AS entropy
+        FROM a
+    """,
+    "bigram_logprob": """
+        -- self-corpus bigram LM: every doc bigram has corpus count >= 1
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), b AS (
+            SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ), cb AS (
+            SELECT bg, count(*) AS cb FROM b GROUP BY bg
+        ), c1 AS (
+            SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        ), j AS (
+            SELECT doc_id, log2(c1.c1) - log2(cb.cb) AS xl
+            FROM b JOIN cb USING (bg) JOIN c1 USING (w1)
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(xl) / count(*), 6) AS cross_entropy
+        FROM j GROUP BY doc_id
     """,
     "dedup_clusters": """
         -- transitive closure of the shared-word-8-gram graph via a
