@@ -160,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="drop exact token-sequence duplicates (min-doc_id survivor) via the incremental dedup index",
     )
+    sp.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="also drop NEAR-duplicate cluster losers (connected components over verified MinHash pairs at this signature-Jaccard threshold) via the incremental MinHash index",
+    )
 
     sp = sub.add_parser(
         "dedup-index",
@@ -450,6 +456,7 @@ def main(argv: list[str] | None = None) -> int:
             eos=args.eos,
             epoch=args.epoch,
             drop_duplicates=args.drop_duplicates,
+            near_dup_threshold=args.near_dup_threshold,
         )
         print(json.dumps({k: man[k] for k in
                           ("epoch", "generation", "seq_len", "n_seqs", "resumed_shards")}

@@ -163,6 +163,7 @@ def export_training_shards(
     pad: int | None = None,
     epoch: int | None = None,
     drop_duplicates: bool = False,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """Export the committed snapshot (or a time-travel ``epoch``) as
     packed training shards.  Idempotent + resumable; returns the export
@@ -175,7 +176,14 @@ def export_training_shards(
     ``ray.put`` and each shard task filters before packing; incremental
     shard reuse is additionally gated on a fingerprint of the loser
     set, because a NEW duplicate elsewhere can change which doc an
-    untouched partition must drop."""
+    untouched partition must drop.
+
+    ``near_dup_threshold`` additionally composes the incremental
+    MINHASH index (pipelines/minhash_index.py): near-duplicate
+    CLUSTERS (connected components over verified LSH pairs at the
+    given signature-Jaccard threshold) also keep only their min-doc_id
+    survivor; the near-dup losers union into the same broadcast filter
+    and reuse fingerprint."""
     m = load_current(engine.table_root) if epoch is None else load_epoch(
         engine.table_root, epoch
     )
@@ -184,26 +192,41 @@ def export_training_shards(
     gen = load_generation(engine.table_root)
     os.makedirs(out_dir, exist_ok=True)
     drop_ref, drop_fp = None, ""
-    if drop_duplicates:
+    if drop_duplicates or near_dup_threshold is not None:
         import hashlib
 
         import numpy as np
 
-        from .dedup_index import TokenDedupIndex
+        loser_parts = []
+        if drop_duplicates:
+            from .dedup_index import TokenDedupIndex
 
-        idx = TokenDedupIndex(engine)
-        idx.update()
-        batches = list(idx.duplicate_losers().iter_batches(batch_format="pyarrow"))
+            idx = TokenDedupIndex(engine)
+            idx.update()
+            loser_parts.extend(
+                idx.duplicate_losers().iter_batches(batch_format="pyarrow")
+            )
+        if near_dup_threshold is not None:
+            from .minhash_index import MinHashIndex
+
+            midx = MinHashIndex(engine)
+            midx.update()
+            loser_parts.extend(
+                midx.near_dup_losers(threshold=near_dup_threshold).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
         losers = (
-            pa.concat_tables(batches)
-            if batches
+            pa.concat_tables(loser_parts)
+            if loser_parts
             else pa.table({"doc_id": pa.array([], pa.string())})
         )
-        drop = np.sort(
+        drop = np.unique(
             np.asarray(losers["doc_id"].to_numpy(zero_copy_only=False), dtype=object)
         )
         drop_fp = hashlib.blake2b(
-            "\x00".join(map(str, drop)).encode(), digest_size=12
+            (f"near={near_dup_threshold}\x01" + "\x00".join(map(str, drop))).encode(),
+            digest_size=12,
         ).hexdigest()
         drop_ref = ray.put(drop)
     # incremental reuse: index the previous export (same out_dir) by

@@ -213,3 +213,41 @@ class MinHashIndex(EpochDeltaIndex):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+
+    def near_dup_losers(self, threshold: float = 0.5) -> ray.data.Dataset:
+        """doc_ids a near-dedup pass would DROP: connected components
+        over the verified near-dup pair graph (``stages/graph.py`` —
+        A~B and B~C collapse transitively), everyone except the
+        min-doc_id survivor per cluster.  The filter side of
+        near-dup-aware shard export (pipelines/export.py)."""
+        from ray.data.aggregate import Count
+
+        from ..stages.graph import connected_components
+
+        pairs = self.near_dup_pairs(threshold=threshold).materialize()
+        edges = pairs.map_batches(
+            lambda b: pa.table({"u": b["doc_a"], "v": b["doc_b"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        nodes = (
+            edges.map_batches(
+                lambda b: pa.concat_tables(
+                    [pa.table({"node": b["u"]}), pa.table({"node": b["v"]})]
+                ).combine_chunks(),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("node")
+            .aggregate(Count(alias_name="n"))
+            .select_columns(["node"])
+        )
+        nodes = nodes.materialize().repartition(2).materialize()
+        labels = connected_components(edges, nodes, num_partitions=2)
+        return labels.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["node"].filter(pc.not_equal(b["node"], b["label"]))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )

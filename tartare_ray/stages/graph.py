@@ -27,7 +27,6 @@ so we keep the cheaper propagation and cap rounds at ``max_iters``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -36,14 +35,14 @@ from ray.data.aggregate import Min
 
 
 def _sym_batch(b: pa.Table) -> pa.Table:
-    u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "src": pa.array(np.concatenate([u, v])),
-            "dst": pa.array(np.concatenate([v, u])),
-        }
-    )
+    # type-agnostic (int64 doc indexes OR string doc_ids): symmetrize
+    # with Arrow concat, no numpy cast
+    return pa.concat_tables(
+        [
+            pa.table({"src": b["u"], "dst": b["v"]}),
+            pa.table({"src": b["v"], "dst": b["u"]}),
+        ]
+    ).combine_chunks()
 
 
 def connected_components(
@@ -55,10 +54,12 @@ def connected_components(
 ) -> ray.data.Dataset:
     """Min-label connected components.
 
-    ``edges``: columns (u, v) int64, undirected (either orientation,
+    ``edges``: columns (u, v), undirected (either orientation,
     duplicates tolerated — they collapse in the min aggregate, but
     dedup them upstream to keep message volume down).
-    ``nodes``: column (node) int64, every vertex incl. isolated ones.
+    ``nodes``: column (node), every vertex incl. isolated ones.
+    Node type is any orderable Arrow type (int64 ids, string doc_ids);
+    ``min`` defines the canonical survivor under that type's order.
 
     Returns a materialized Dataset (node, label) where ``label`` is
     the minimum node id of the component — the canonical survivor.
@@ -80,7 +81,7 @@ def connected_components(
             {
                 "node": b["dst"],
                 "cand": b["label"],
-                "own": pa.nulls(len(b), pa.int64()),
+                "own": pa.nulls(len(b), b["label"].type),
             }
         )
 

@@ -98,3 +98,24 @@ def test_dedup_clusters_survivor_is_component_min(ray_session):
         by_label.setdefault(l, []).append(i)
     for l, members in by_label.items():
         assert l == min(members)  # survivor = component min
+
+
+def test_cc_string_nodes(ray_session):
+    """Node type is generic: string doc_ids, survivor = lexicographic min."""
+    from tartare_ray.stages.graph import connected_components
+
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(["b", "c", "x"], pa.string()),
+                "v": pa.array(["a", "b", "y"], pa.string()),
+            }
+        )
+    )
+    n = ray.data.from_arrow(
+        pa.table({"node": pa.array(["a", "b", "c", "x", "y", "lone"], pa.string())})
+    )
+    res = connected_components(e, n)
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"}

@@ -91,3 +91,37 @@ def test_live_signatures_match_direct_snapshot_computation(engine):
     direct = token_minhash_batch(snap).to_pandas().sort_values("doc_id", ignore_index=True)
     assert live["doc_id"].tolist() == direct["doc_id"].tolist()
     assert [bytes(x) for x in live["sig"]] == [bytes(x) for x in direct["sig"]]
+
+
+def test_near_dup_losers_are_cluster_non_survivors(engine):
+    idx = MinHashIndex(engine)
+    idx.update()
+    losers = set(_collect(idx.near_dup_losers(threshold=0.5))["doc_id"])
+    # dup_a/dup_b/near_c form one transitive cluster → survivor dup_a
+    assert losers == {"dup_b", "near_c"}
+
+
+def test_export_drops_near_dup_losers(engine, tmp_path):
+    """Near-dedup-aware export packs exactly the snapshot minus the
+    near-dup cluster losers (same per-partition assertion style as
+    test_export_drop_duplicates)."""
+    import pyarrow.compute as pc
+
+    from tartare_ray.pipelines.export import export_training_shards
+    from tartare_ray.stages.kernels import hash_partition_ids
+
+    SEQ = 32
+    out = str(tmp_path / "shards_near")
+    man = export_training_shards(engine, out, seq_len=SEQ, eos=0, near_dup_threshold=0.5)
+    assert man["drop_fp"]
+    snap = engine.snapshot_table()
+    keep = pa.array(
+        [d not in ("dup_b", "near_c") for d in snap["doc_id"].to_pylist()]
+    )
+    deduped = snap.filter(keep)
+    assert len(deduped) == len(snap) - 2
+    parts = hash_partition_ids(deduped["doc_id"], 2)
+    for s in man["shards"]:
+        sub = deduped.filter(pa.array(parts == s["p"]))
+        total = int(pc.sum(pc.list_value_length(sub["tokens"])).as_py() or 0) + len(sub)
+        assert s["n_seqs"] == total // SEQ, s
