@@ -2633,17 +2633,17 @@ QUERIES = {
     "count_distinct": count_distinct,
     "grouped_quantile": grouped_quantile,
     "rolling_window": rolling_window,
-    "token_count": token_count,
+    "word_entropy": word_entropy,
+    "bigram_logprob": bigram_logprob,
     "bpe_token_count": bpe_token_count,
-    "text_stats": text_stats,
     "tokens_per_lang": tokens_per_lang,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "cdc_minhash_index": cdc_minhash_index,
-    "word_entropy": word_entropy,
-    "bigram_logprob": bigram_logprob,
+    "token_count": token_count,
+    "text_stats": text_stats,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
