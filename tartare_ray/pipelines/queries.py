@@ -1662,7 +1662,13 @@ def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    labels = G.connected_components(edges, nodes, num_partitions=_size_parts(edges))
+    # int64 doc ids → the BSP actor path (persistent partition state;
+    # rounds cost RPCs, not fresh Dataset operators — 2× here, 94× on
+    # high-diameter graphs, BASELINE.md); the Dataset loop remains the
+    # generic-type fallback (string ids in minhash_cluster_dedup)
+    labels = G.connected_components_bsp(
+        edges, nodes, num_partitions=max(2, min(16, _size_parts(edges)))
+    )
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow",

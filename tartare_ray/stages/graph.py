@@ -27,6 +27,8 @@ so we keep the cheaper propagation and cap rounds at ``max_iters``.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -139,3 +141,196 @@ def connected_components(
         "(graph diameter exceeds the cap — raise max_iters or use a "
         "pointer-jumping variant)"
     )
+
+
+# --------------------------------------------------------------------------
+# BSP actor implementation — for LARGE / high-diameter graphs
+# --------------------------------------------------------------------------
+#
+# The Dataset loop above re-plans a join + groupby EVERY round; Ray
+# Data's per-operator overhead (~10-30 s/round at any size) multiplies
+# by graph diameter — measured 366 s for 250k nodes / 500k edges /
+# 16 rounds (BASELINE.md).  Iterative algorithms want state that
+# PERSISTS across rounds, which the Dataset API cannot express — this
+# is the documented "raw actors as a last resort" case (SURVEY.md §2A):
+# P stateful actors each own one hash partition of nodes+edges (sorted
+# numpy arrays, loaded once from a parquet exchange directory); a
+# round is one vectorized message pass per actor — candidate labels
+# pre-reduced to ONE min per destination node before they enter the
+# object store — and the driver moves only object refs and per-round
+# changed counts.  Partition assumption: hash(node) % P places a
+# node's label and all its in-edges on one actor; message volume per
+# round ≤ min(E, touched dst nodes), all fixed-width int64.
+
+import numpy as np  # noqa: E402  (used by the BSP path only)
+
+from ..functions.hashing import mix64  # noqa: E402
+
+
+def _node_part(ids: np.ndarray, P: int) -> np.ndarray:
+    return (mix64(ids.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+
+
+@ray.remote
+class _CCShard:
+    """One hash partition of the graph: sorted node ids, their labels,
+    and every OUT-edge whose source lives here, grouped by destination
+    partition so outgoing messages batch into one ref per dest."""
+
+    def __init__(self, p: int, P: int, part_dir: str):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        self.p, self.P = p, P
+        nodes = []
+        src, dst = [], []
+        for f in sorted(glob.glob(f"{part_dir}/nodes-{p:05d}-*.parquet")):
+            nodes.append(pq.read_table(f)["node"].to_numpy(zero_copy_only=False))
+        for f in sorted(glob.glob(f"{part_dir}/edges-{p:05d}-*.parquet")):
+            t = pq.read_table(f)
+            src.append(t["src"].to_numpy(zero_copy_only=False))
+            dst.append(t["dst"].to_numpy(zero_copy_only=False))
+        self.node = np.unique(
+            np.concatenate(nodes + [np.array([], dtype=np.int64)])
+        )
+        self.label = self.node.copy()
+        s = np.concatenate(src + [np.array([], dtype=np.int64)])
+        d = np.concatenate(dst + [np.array([], dtype=np.int64)])
+        # out-edges FROM this partition: src lives here; route by dst part
+        self.src_idx = np.searchsorted(self.node, s)
+        if len(s) and (
+            (self.src_idx >= len(self.node)).any()
+            or (self.node[np.minimum(self.src_idx, len(self.node) - 1)] != s).any()
+        ):
+            raise ValueError(
+                "edge endpoints missing from the nodes dataset (the CC "
+                "contract: nodes must cover every edge endpoint)"
+            )
+        self.dst = d
+        self.dst_part = _node_part(d, self.P)
+        order = np.argsort(self.dst_part, kind="stable")
+        self.src_idx, self.dst, self.dst_part = (
+            self.src_idx[order],
+            self.dst[order],
+            self.dst_part[order],
+        )
+        self.part_bounds = np.searchsorted(self.dst_part, np.arange(self.P + 1))
+
+    def compute_msgs(self) -> list:
+        """Per destination partition: (dst, cand) pre-reduced to the
+        local min candidate per dst — one ref each, or None."""
+        cand = self.label[self.src_idx]
+        out = []
+        for q in range(self.P):
+            lo, hi = self.part_bounds[q], self.part_bounds[q + 1]
+            if hi == lo:
+                out.append(None)
+                continue
+            d, c = self.dst[lo:hi], cand[lo:hi]
+            o = np.lexsort((c, d))
+            d, c = d[o], c[o]
+            first = np.r_[True, d[1:] != d[:-1]]
+            out.append(ray.put((d[first], c[first])))
+        return out
+
+    def apply_msgs(self, refs: list) -> int:
+        new = self.label.copy()
+        for r in refs:
+            if r is None:
+                continue
+            d, c = ray.get(r)
+            idx = np.searchsorted(self.node, d)
+            np.minimum.at(new, idx, c)
+        changed = int((new < self.label).sum())
+        self.label = new
+        return changed
+
+    def labels_table(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.node), "label": pa.array(self.label)})
+
+
+def connected_components_bsp(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    num_partitions: int = 8,
+    max_iters: int = 10_000,
+    scratch_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Min-label connected components for int64 node ids via BSP
+    actors (see block comment above).  Semantics identical to
+    ``connected_components``; rounds cost actor RPCs instead of fresh
+    Dataset operators, so high-diameter graphs converge ~20× faster
+    (BASELINE.md).  One Dataset pass hash-partitions nodes + symmetric
+    edges to a parquet exchange directory (the house SplitApplier
+    pattern); each actor loads its partition once."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    P = num_partitions
+    part_dir = scratch_dir or os.path.join(
+        tempfile.gettempdir(), "tartare_ray", "cc", uuid.uuid4().hex
+    )
+    os.makedirs(part_dir, exist_ok=True)
+
+    def write_part(kind: str):
+        def fn(b: pa.Table) -> pa.Table:
+            import hashlib
+
+            if kind == "nodes":
+                ids = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                parts = _node_part(ids, P)
+                cols = {"node": ids}
+            else:
+                u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+                v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+                s = np.concatenate([u, v])
+                d = np.concatenate([v, u])
+                parts = _node_part(s, P)  # route by SOURCE partition
+                cols = {"src": s, "dst": d}
+            sig = hashlib.blake2b(
+                np.ascontiguousarray(next(iter(cols.values()))).tobytes(),
+                digest_size=8,
+            ).hexdigest()
+            for q in np.unique(parts):
+                m = parts == q
+                pq.write_table(
+                    pa.table({k: pa.array(c[m]) for k, c in cols.items()}),
+                    os.path.join(part_dir, f"{kind}-{q:05d}-{sig}.parquet"),
+                )
+            return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+        return fn
+
+    # two streaming passes; content-hash names make task retries idempotent
+    nodes.map_batches(write_part("nodes"), batch_format="pyarrow").sum("n")
+    edges.map_batches(write_part("edges"), batch_format="pyarrow").sum("n")
+
+    shards = [_CCShard.remote(p, P, part_dir) for p in range(P)]
+    try:
+        for _ in range(max_iters):
+            msgs = ray.get([s.compute_msgs.remote() for s in shards])
+            changed = sum(
+                ray.get(
+                    [
+                        s.apply_msgs.remote([msgs[src_p][q] for src_p in range(P)])
+                        for q, s in enumerate(shards)
+                    ]
+                )
+            )
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_bsp did not converge in {max_iters} rounds"
+            )
+        tables = ray.get([s.labels_table.remote() for s in shards])
+    finally:
+        for s in shards:
+            ray.kill(s)
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return ray.data.from_arrow(tables)

@@ -119,3 +119,57 @@ def test_cc_string_nodes(ray_session):
     t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
     got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"}
+
+
+def test_cc_bsp_matches_dataset_loop_and_union_find(ray_session):
+    """BSP actor implementation (persistent partition state, message
+    passing) is semantically identical to the Dataset loop."""
+    from tartare_ray.stages.graph import connected_components_bsp
+
+    rng = np.random.default_rng(13)
+    n = 80
+    edges = [tuple(p) for p in rng.integers(0, n, size=(60, 2)) if p[0] != p[1]]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    res = connected_components_bsp(e, nd, num_partitions=3)
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert got == _uf_labels(n, edges)
+
+
+def test_cc_bsp_chain_and_no_edges(ray_session):
+    from tartare_ray.stages.graph import connected_components_bsp
+
+    # 9-chain: diameter stress for the round loop
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(list(range(10, 18)), pa.int64()),
+                "v": pa.array(list(range(11, 19)), pa.int64()),
+            }
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"node": pa.array(list(range(10, 19)) + [99], pa.int64())}))
+    t = pa.concat_tables(
+        connected_components_bsp(e, nd, num_partitions=2).iter_batches(batch_format="pyarrow")
+    )
+    got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert got == {**{i: 10 for i in range(10, 19)}, 99: 99}
+
+
+def test_cc_bsp_rejects_uncovered_endpoints(ray_session):
+    from tartare_ray.stages.graph import connected_components_bsp
+
+    e = ray.data.from_arrow(
+        pa.table({"u": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64())})
+    )
+    nd = ray.data.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="missing from the nodes"):
+        connected_components_bsp(e, nd, num_partitions=2)
