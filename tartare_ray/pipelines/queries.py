@@ -1741,6 +1741,36 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> ray.data.Dataset:
     return final.select_columns(["q_id", "vec_id", "rank"])
 
 
+def ann_pq_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 5, m: int = 8, k_codes: int = 64
+) -> ray.data.Dataset:
+    """Product-quantized approximate top-k — the compressed-domain
+    100 TB path: vectors compress to ``m`` byte codes (32× for 64-dim
+    float32 at m=8) and queries score via ADC lookup tables, so the
+    scan touches codes, not floats.  Codebooks train on the same
+    bounded driver-side head sample as IVF; corpus streams through an
+    actor pool (codebooks + query tables built once per actor);
+    per-query partial top-k folds exactly like ``ann_topk``.
+    Rows-only driver check; recall vs exact brute force pinned in
+    pytest (tests/test_pq.py)."""
+    sample = _embedding_head(sf_dir, 4096)
+    train = S.l2_normalize(S.embedding_matrix(sample))
+    books = S.train_pq(train, m=m, k_codes=k_codes)
+    books_ref = ray.put(books)
+    qref = _query_ref(sf_dir, n_queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.PQTopKStage,
+        fn_constructor_kwargs=dict(books_ref=books_ref, queries_ref=qref, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    final = ds.groupby("q_id").map_groups(
+        lambda g: S.topk_group(g, k), batch_format="pyarrow"
+    )
+    return final.select_columns(["q_id", "vec_id", "rank"])
+
+
 def embedding_dedup(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs — exact all-pairs via broadcast
     corpus matmul.  THIS IS THE RECALL ORACLE, not the scale path: it
@@ -2648,6 +2678,7 @@ QUERIES = {
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "cdc_minhash_index": cdc_minhash_index,
+    "ann_pq_topk": ann_pq_topk,
     "token_count": token_count,
     "text_stats": text_stats,
     "ngram_topk": ngram_topk,

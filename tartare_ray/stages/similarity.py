@@ -375,6 +375,111 @@ class IVFStoredProbeStage:
 
 # -- text → embedding "model inference" stage -----------------------------
 
+# -- Product quantization (PQ) — compressed-domain ANN --------------------
+#
+# At 100 TB of embeddings the vectors themselves are the cost: a
+# 64-dim float32 vector is 256 B; its PQ code (m=8 subspaces × 1 byte)
+# is 8 B — a 32× storage/scan compression.  Queries score codes via
+# ADC (asymmetric distance computation): per query, one (m, k_codes)
+# lookup table of subspace dot products, then a score is m table
+# lookups — no float vector is ever touched at query time.
+
+def train_pq(
+    train: np.ndarray, m: int = 8, k_codes: int = 64, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """(m, k_codes, d/m) PQ codebooks via per-subspace Lloyd kmeans on
+    a driver-side SAMPLE (the same sampling contract as
+    ``spherical_kmeans``).  ``d % m == 0`` required.  k_codes=256 is
+    the standard byte-code setting at real scale; the default 64 keeps
+    centroids meaningful at test-corpus sizes."""
+    n, d = train.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    k = min(k_codes, n)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = train[:, s * dsub : (s + 1) * dsub]
+        c = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # min euclidean distance == max (x·c - |c|²/2), vectorized
+            scores = sub @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for j in range(k):
+                sel = sub[assign == j]
+                if len(sel):
+                    c[j] = sel.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_encode(matrix: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace, index of the nearest codeword."""
+    n, d = matrix.shape
+    m, k, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        sub = matrix[:, s * dsub : (s + 1) * dsub]
+        c = books[s]
+        scores = sub @ c.T - 0.5 * (c * c).sum(axis=1)
+        codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_tables(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, m, k) dot-product lookup tables: approximate
+    cos(q, x) ≈ Σ_s table[q, s, code[x, s]] for l2-normalized inputs."""
+    m, k, dsub = books.shape
+    nq = len(q)
+    t = np.empty((nq, m, k), dtype=np.float64)
+    for s in range(m):
+        t[:, s, :] = q[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    return t
+
+
+class PQTopKStage:
+    """Corpus pass for PQ top-k with exact re-rank: encode each batch
+    to byte codes, ADC-score every query (O(n·m) table lookups — no
+    d-dim matmul over the batch), take a per-query SHORTLIST of
+    ``rerank``×k candidates, and score only those exactly (O(R·d)
+    flops) — the standard compressed-scan + refine shape; the exact
+    shortlist scores make the final reduce's ranking exact within the
+    union of shortlists.  Codebooks + query tables load once per
+    actor; emits partial top-k rows."""
+
+    def __init__(self, books_ref, queries_ref, k: int, rerank: int = 4):
+        self.books = ray.get(books_ref)
+        self.q_ids, self.q = ray.get(queries_ref)
+        self.tables = pq_adc_tables(self.q, self.books)
+        self.k = k
+        self.shortlist = max(k, rerank * k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = l2_normalize(embedding_matrix(batch))
+        codes = pq_encode(m, self.books)
+        n = len(ids)
+        r = min(self.shortlist, n)
+        out_q, out_v, out_c = [], [], []
+        cols = np.arange(self.books.shape[0])
+        for qi in range(len(self.q_ids)):
+            adc = self.tables[qi][cols, codes].sum(axis=1)
+            cand = np.argpartition(-adc, r - 1)[:r]
+            exact = m[cand] @ self.q[qi]
+            top = cand[np.argpartition(-exact, min(self.k, r) - 1)[: self.k]]
+            out_q.append(np.full(len(top), self.q_ids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_c.append(m[top] @ self.q[qi])
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
 class TextEmbedStage:
     """Batched model inference shape: a deterministic hashed-ngram +
     random-projection text encoder.  The "model" (a seeded projection
