@@ -1452,6 +1452,106 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset
     )
 
 
+def curation_pipeline(sf_dir: str, k: int = 20, gram_k: int = 8) -> ray.data.Dataset:
+    """The composed training-data curation pass — the pipeline a real
+    corpus runs end-to-end, as ONE streaming composition with ONE
+    declarative SQL oracle:
+
+        quality filter → decontaminate (vs the eval split) →
+        exact dedup (min-doc_id survivor) → stratified sample (k/lang)
+
+    Scale shape: stage 1 is a single fused map_batches (stats +
+    eval-shingle membership against a broadcast MB-sized eval set) that
+    drops text — only (doc_id, lang, norm-hash) int64 rows continue;
+    dedup is one vectorized Min groupby + one hash join (the 8-byte
+    norm-hash stands in for the normalized text, the exact_dedup
+    100 TB convention); sampling is the stratified partial-top-k.  No
+    stage holds or reshuffles document text."""
+    from ..functions.hashing import hash_strings
+    from ..functions.text import normalize, poly_hash_words
+
+    eval_pre = lambda b: b.filter(  # noqa: E731
+        pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 25 == 0)
+    )
+    eval_tbl = pa.concat_tables(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(eval_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    eval_ref = ray.put(D.eval_shingles(eval_tbl["text"], k=gram_k))
+
+    def stage1(b: pa.Table, gram_k=gram_k) -> pa.Table:
+        s = TX.text_stats_batch(b)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(s["n_words"], 8),
+                pc.less_equal(s["n_chars"], 1200),
+            ),
+            pc.greater_equal(pc.multiply(s["n_stopwords"], 10), s["n_words"]),
+        ).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep &= ids % 25 != 0  # the eval split never trains
+        ev = ray.get(eval_ref)
+        cont = D.contamination_batch(b, ev, k=gram_k)
+        keep &= ~np.isin(ids, cont["doc_id"].to_numpy(zero_copy_only=False))
+        sub = b.filter(pa.array(keep))
+        nh = hash_strings(normalize(sub["text"])).view(np.int64)
+        return pa.table(
+            {"doc_id": sub["doc_id"], "lang": sub["lang"], "nh": pa.array(nh)}
+        )
+
+    clean = (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # consumed twice: winner groupby + join spine
+    )
+    winners = _pairs_norm(
+        clean.groupby("nh").aggregate(Min("doc_id", alias_name="win_id"))
+    )
+    survivors = clean.join(
+        winners, join_type="inner", num_partitions=_size_parts(clean), on=("nh",)
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], b["win_id"])).select(
+            ["doc_id", "lang"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(b: pa.Table, k=k) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string()).combine_chunks()
+        h = poly_hash_words(
+            np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
+        )
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        ).sort_by([("lang", "ascending"), ("h", "ascending"), ("doc_id", "ascending")])
+        lang = t["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(lang)
+        if n == 0:
+            return t
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = lang[1:] != lang[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        return t.filter(pa.array((np.arange(n) - run_start) < k))
+
+    return (
+        survivors.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.sort_by(
+                [("h", "ascending"), ("doc_id", "ascending")]
+            ).slice(0, k),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def word_entropy(sf_dir: str) -> ray.data.Dataset:
     """Per-doc unigram (word) entropy — the information-theoretic
     quality signal (low-entropy docs are boilerplate/repetition).
@@ -2671,7 +2771,7 @@ QUERIES = {
     "rolling_window": rolling_window,
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
-    "bpe_token_count": bpe_token_count,
+    "curation_pipeline": curation_pipeline,
     "tokens_per_lang": tokens_per_lang,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
@@ -2681,6 +2781,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "token_count": token_count,
     "text_stats": text_stats,
+    "bpe_token_count": bpe_token_count,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
@@ -3110,6 +3211,51 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "curation_pipeline": """
+        -- the composed curation pass: quality -> decontaminate ->
+        -- exact dedup (min-doc_id survivor) -> stratified sample
+        WITH w AS (
+            SELECT doc_id, lang, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws) - 6),
+                       i -> array_to_string(list_slice(ws, i, i + 7), ' ')) AS gs
+            FROM w
+        ), ev AS (
+            SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 25 = 0
+        ), contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 25 <> 0) c
+            JOIN ev USING (gram)
+        ), q AS (
+            SELECT doc_id, lang, text FROM w
+            WHERE len(ws) >= 8 AND length(text) <= 1200
+              AND len(list_filter(ws, x -> x IN ('the', 'a'))) * 10 >= len(ws)
+              AND doc_id % 25 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), s AS (
+            SELECT min(doc_id) AS doc_id FROM q
+            GROUP BY lower(trim(text,
+                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))
+        )
+        SELECT lang, doc_id, h FROM (
+            SELECT lang, doc_id, h,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY h ASC, doc_id ASC) AS rnk
+            FROM (
+                SELECT q.lang, q.doc_id,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(
+                                   string_split(CAST(q.doc_id AS VARCHAR), ''),
+                                   c -> CAST(unicode(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 50257) AS h
+                FROM q JOIN s USING (doc_id)
+            )
+        ) WHERE rnk <= 20
     """,
     "word_entropy": """
         WITH w AS (
