@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "cdc_pack_sequences",
     "cdc_time_travel",
     "dedup_clusters",
+    "curation_pipeline",
 ]
 
 
