@@ -176,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--show-groups", action="store_true")
 
     sp = sub.add_parser(
+        "near-dup",
+        help="update the incrementally-maintained MinHash near-dup index from the change feed and print near-dup pairs or cluster losers",
+    )
+    add_engine_args(sp)
+    sp.add_argument("--name", default="minhash")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument(
+        "--losers",
+        action="store_true",
+        help="print cluster losers (connected components, min-doc_id survivor) instead of pairs",
+    )
+
+    sp = sub.add_parser(
         "sync-replica",
         help="pull a source table's unacked change-feed epochs and replay them into a downstream replica table",
     )
@@ -475,6 +488,25 @@ def main(argv: list[str] | None = None) -> int:
                 for r in idx.duplicate_groups().take_all()
             ]
             out["duplicate_groups"] = sorted(groups, key=lambda g: g["survivor"])
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "near-dup":
+        from .pipelines.minhash_index import MinHashIndex
+
+        idx = MinHashIndex(eng, name=args.name)
+        ingested = idx.update()
+        out = {"ingested_epochs": ingested}
+        if args.losers:
+            out["losers"] = sorted(
+                r["doc_id"] for r in idx.near_dup_losers(threshold=args.threshold).take_all()
+            )
+        else:
+            pairs = [
+                {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "est_jaccard": r["est_jaccard"]}
+                for r in idx.near_dup_pairs(threshold=args.threshold).take_all()
+            ]
+            out["pairs"] = sorted(pairs, key=lambda p: (p["doc_a"], p["doc_b"]))
         print(json.dumps(out))
         return 0
 

@@ -173,3 +173,41 @@ def test_cc_bsp_rejects_uncovered_endpoints(ray_session):
     nd = ray.data.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
     with pytest.raises(Exception, match="missing from the nodes"):
         connected_components_bsp(e, nd, num_partitions=2)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=40
+    ),
+)
+def test_cc_property_matches_union_find(ray_session, n, edges):
+    """Property: for ANY graph, both CC implementations equal the
+    union-find fold (nodes clamped into range, self-loops dropped)."""
+    from tartare_ray.stages.graph import connected_components_bsp
+
+    edges = [(u % n, v % n) for u, v in edges if u % n != v % n]
+    got = _run_cc(list(range(n)), edges)
+    exp = _uf_labels(n, edges)
+    assert got == exp
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    nd = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    t = pa.concat_tables(
+        connected_components_bsp(e, nd, num_partitions=2).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert dict(zip(t["node"].to_pylist(), t["label"].to_pylist())) == exp
