@@ -172,6 +172,52 @@ class EpochDeltaIndex:
                     )
         return out
 
+    #: (column name, arrow type) of the per-doc payload each subclass
+    #: stores next to (doc_id, op, lsn)
+    _payload = ("fp", pa.int64())
+
+    def _live_rows(self) -> "ray.data.Dataset":
+        """(doc_id, <payload>) of the CURRENT live state: latest-LSN
+        record per doc_id across all deltas, deletes dropped — the same
+        argmax reduce as the engine's apply.  Vectorized at scale: a
+        per-block ``latest_per_key`` pre-reduce, ONE hash-partition
+        tag, and a per-PARTITION vectorized fold — P Python calls
+        total, never one per doc."""
+        import numpy as np
+
+        import ray
+
+        from ..stages.kernels import hash_partition_ids, latest_per_key
+
+        name, typ = self._payload
+        files = self._delta_files()
+        if not files:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([], pa.string()), name: pa.array([], typ)}
+                )
+            )
+        P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+        def pre(b: pa.Table) -> pa.Table:
+            t = latest_per_key(b, "doc_id", "lsn")
+            return t.append_column(
+                "part",
+                pa.array(hash_partition_ids(t["doc_id"], P).astype(np.int64)),
+            )
+
+        def fold(g: pa.Table, name=name) -> pa.Table:
+            t = latest_per_key(g, "doc_id", "lsn")
+            keep = pc.invert(pc.fill_null(pc.equal(t["op"], "D"), False))
+            return t.filter(keep).select(["doc_id", name])
+
+        return (
+            ray.data.read_parquet(files)
+            .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+
 
 class TokenDedupIndex(EpochDeltaIndex):
     """See module docstring.  One instance per (table, name)."""
@@ -227,34 +273,28 @@ class TokenDedupIndex(EpochDeltaIndex):
 
     # -- queries --------------------------------------------------------------
     def live_fingerprints(self) -> ray.data.Dataset:
-        """(doc_id, fp) of the CURRENT live state: latest-LSN record
-        per doc_id across all deltas, deletes dropped — the same
-        argmax reduce as the engine's apply, over 16-byte rows."""
-        files = self._delta_files()
-        if not files:
-            return ray.data.from_arrow(
-                pa.table(
-                    {"doc_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
-                )
-            )
-        from ..stages.kernels import latest_per_key
+        """(doc_id, fp) of the CURRENT live state — see ``_live_rows``."""
+        return self._live_rows()
 
-        ds = ray.data.read_parquet(files).map_batches(
-            lambda b: latest_per_key(b, "doc_id", "lsn"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    def _fp_partitioned(self) -> ray.data.Dataset:
+        """Live rows tagged by hash(fp) partition so all docs of a
+        fingerprint co-locate — the dup-group shuffle moves 16-byte
+        rows and the per-partition folds below stay VECTORIZED (one
+        sort + run masks per partition, not Python per fingerprint)."""
+        import numpy as np
+
+        from ..functions.hashing import mix64
+
+        P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+        def tag(b: pa.Table) -> pa.Table:
+            fp = b["fp"].to_numpy(zero_copy_only=False)
+            part = (mix64(fp.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+            return b.append_column("part", pa.array(part))
+
+        return self.live_fingerprints().map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
         )
-
-        def final(g: pa.Table) -> pa.Table:
-            i = pc.index(g["lsn"], pc.max(g["lsn"]).as_py()).as_py()
-            row = g.slice(i, 1)
-            if row["op"][0].as_py() == "D":
-                return pa.table(
-                    {"doc_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
-                )
-            return row.select(["doc_id", "fp"])
-
-        return ds.groupby("doc_id").map_groups(final, batch_format="pyarrow")
 
     def duplicate_losers(self) -> ray.data.Dataset:
         """doc_ids that exact token-sequence dedup would DROP — every
@@ -262,12 +302,17 @@ class TokenDedupIndex(EpochDeltaIndex):
         survivor.  The filter side of dedup-aware shard export
         (pipelines/export.py): O(duplicate docs), served from the
         index, never rescanning the snapshot."""
+        import numpy as np
 
         def losers(g: pa.Table) -> pa.Table:
-            ids = sorted(g["doc_id"].to_pylist())
-            return pa.table({"doc_id": pa.array(ids[1:], pa.string())})
+            t = g.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(fp), bool)
+            if len(fp):
+                keep[1:] = fp[1:] == fp[:-1]  # every non-first of its run
+            return t.filter(pa.array(keep)).select(["doc_id"])
 
-        return self.live_fingerprints().groupby("fp").map_groups(
+        return self._fp_partitioned().groupby("part").map_groups(
             losers, batch_format="pyarrow"
         )
 
@@ -275,10 +320,13 @@ class TokenDedupIndex(EpochDeltaIndex):
         """(fp, survivor, n_copies) for every fingerprint with ≥2 live
         docs — min-doc_id survivor, same contract as cdc_token_dedup
         but served FROM THE INDEX (no snapshot scan)."""
+        import numpy as np
 
-        def group(g: pa.Table) -> pa.Table:
-            ids = g["doc_id"].to_pylist()
-            if len(ids) < 2:
+        def groups(g: pa.Table) -> pa.Table:
+            t = g.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            n = len(fp)
+            if n == 0:
                 return pa.table(
                     {
                         "fp": pa.array([], pa.int64()),
@@ -286,14 +334,19 @@ class TokenDedupIndex(EpochDeltaIndex):
                         "n_copies": pa.array([], pa.int64()),
                     }
                 )
+            first = np.r_[True, fp[1:] != fp[:-1]]
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, n))
+            dup = counts >= 2
+            idx = starts[dup]
             return pa.table(
                 {
-                    "fp": g["fp"].slice(0, 1),
-                    "survivor": pa.array([min(ids)], pa.string()),
-                    "n_copies": pa.array([len(ids)], pa.int64()),
+                    "fp": pa.array(fp[idx]),
+                    "survivor": t["doc_id"].take(pa.array(idx)),
+                    "n_copies": pa.array(counts[dup].astype(np.int64)),
                 }
             )
 
-        return self.live_fingerprints().groupby("fp").map_groups(
-            group, batch_format="pyarrow"
+        return self._fp_partitioned().groupby("part").map_groups(
+            groups, batch_format="pyarrow"
         )

@@ -104,34 +104,12 @@ class MinHashIndex(EpochDeltaIndex):
         return pa.concat_tables(parts).combine_chunks()
 
     # -- queries --------------------------------------------------------------
+    _payload = ("sig", pa.binary())
+
     def live_signatures(self) -> ray.data.Dataset:
-        """(doc_id, sig) of the CURRENT live state: latest-LSN record
-        per doc_id across all deltas, deletes dropped."""
-        files = self._delta_files()
-        if not files:
-            return ray.data.from_arrow(
-                pa.table(
-                    {"doc_id": pa.array([], pa.string()), "sig": pa.array([], pa.binary())}
-                )
-            )
-        from ..stages.kernels import latest_per_key
-
-        ds = ray.data.read_parquet(files).map_batches(
-            lambda b: latest_per_key(b, "doc_id", "lsn"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
-        def final(g: pa.Table) -> pa.Table:
-            i = pc.index(g["lsn"], pc.max(g["lsn"]).as_py()).as_py()
-            row = g.slice(i, 1)
-            if row["op"][0].as_py() == "D":
-                return pa.table(
-                    {"doc_id": pa.array([], pa.string()), "sig": pa.array([], pa.binary())}
-                )
-            return row.select(["doc_id", "sig"])
-
-        return ds.groupby("doc_id").map_groups(final, batch_format="pyarrow")
+        """(doc_id, sig) of the CURRENT live state — the shared
+        vectorized fold (``EpochDeltaIndex._live_rows``)."""
+        return self._live_rows()
 
     def near_dup_pairs(
         self, threshold: float = 0.5, max_bucket: int = 256
