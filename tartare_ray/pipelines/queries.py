@@ -2468,6 +2468,69 @@ def semi_join(sf_dir: str) -> ray.data.Dataset:
     return _key_membership_join(sf_dir, keep_members=True)
 
 
+def full_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """Full outer join with two-sided null coalescing — the join
+    family's last member (inner/left/semi/anti/broadcast/as-of/range
+    elsewhere).  Left side is one customer segment, right side the
+    pre-aggregated big-order customers, so BOTH unmatched directions
+    genuinely occur; the key coalesces across sides.  Same pre-join
+    cents convention as ``left_outer_join`` (bit-identical rounding)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], 450000.0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_big"), Sum("o_totalprice", alias_name="rev"))
+    )
+    right = _pairs_norm(
+        right.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "n_big_orders": pc.cast(b["n_big"], pa.int64()),
+                    "revenue_cents": pc.cast(
+                        pc.round(pc.multiply(b["rev"], 100.0), ndigits=0), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    j = cust.join(
+        right,
+        join_type="full_outer",
+        num_partitions=_size_parts(cust, right),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        # Ray's full_outer merges the join key into the LEFT key column
+        # (right-only rows carry their key there) — no key coalesce
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_mktsegment": pc.fill_null(b["c_mktsegment"], ""),
+                "n_big_orders": pc.fill_null(pc.cast(b["n_big_orders"], pa.int64()), zero),
+                "revenue_cents": pc.fill_null(
+                    pc.cast(b["revenue_cents"], pa.int64()), zero
+                ),
+            }
+        )
+
+    return j.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def left_outer_join(sf_dir: str) -> ray.data.Dataset:
     """Left outer join with null coalescing: every customer row
     survives; the aggregated big-order side fills (0, 0) where absent.
@@ -2784,6 +2847,7 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
+    "full_outer_join": full_outer_join,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -3211,6 +3275,21 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "full_outer_join": """
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), r AS (
+            SELECT o_custkey, count(*) AS n_big_orders,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents
+            FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+        )
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               COALESCE(c_mktsegment, '') AS c_mktsegment,
+               COALESCE(n_big_orders, 0) AS n_big_orders,
+               COALESCE(revenue_cents, 0) AS revenue_cents
+        FROM c FULL OUTER JOIN r ON c_custkey = o_custkey
     """,
     "curation_pipeline": """
         -- the composed curation pass: quality -> decontaminate ->
