@@ -405,6 +405,50 @@ def window_agg(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """HOPPING-window aggregate (2 h windows every 1 h, per
+    event_type): each event lands in size/step = 2 overlapping windows
+    — a bounded vectorized row expansion in the map stage, then the
+    same partial-agg groupby as the tumbling ``window_agg``.  The
+    expansion factor is a constant of the window spec, so this streams
+    at any scale exactly like tumbling windows do."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        h0 = pc.floor_temporal(b["ts"], unit="hour")
+        h1 = pc.subtract(h0, pa.scalar(3_600_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [b["event_type"].combine_chunks()] * 2
+                ),
+                "window_start": pa.concat_arrays(
+                    [h0.combine_chunks(), pc.cast(h1, h0.type).combine_chunks()]
+                ),
+                "value": pa.concat_arrays([b["value"].combine_chunks()] * 2),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["sum_value"], 100.0), ndigits=0), pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pc.cast(b["window_start"], pa.timestamp("us")),
+                "n_events": b["n_events"],
+                "sum_value_cents": cents,
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
 def _tagged_events(sf_dir: str, probe_type: str, ref_types: list[str]) -> ray.data.Dataset:
     """Union of probe/reference event streams tagged with a side column,
     pruned at the scan — the co-partitioned input both time-joins share."""
@@ -2848,6 +2892,7 @@ QUERIES = {
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "full_outer_join": full_outer_join,
+    "hopping_window": hopping_window,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -3275,6 +3320,17 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    "hopping_window": """
+        -- 2 h windows hopping by 1 h: each event joins 2 window starts
+        SELECT event_type, window_start, count(*) AS n_events,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+        FROM (
+            SELECT event_type, value,
+                   date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start
+            FROM events, UNNEST(generate_series(0, 1)) AS t(i)
+        )
+        GROUP BY event_type, window_start
     """,
     "full_outer_join": """
         WITH c AS (
