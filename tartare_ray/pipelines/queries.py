@@ -405,6 +405,20 @@ def window_agg(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(rnd, batch_format="pyarrow")
 
 
+def quantile_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Mergeable DDSketch quantiles (p50/p90/p99 of event value per
+    type, 1% relative error guaranteed): ONE corpus pass of vectorized
+    bucket counting, a Sum groupby over O(groups × buckets) tiny rows,
+    per-group extraction — no sort, no data-row shuffle.  The
+    streaming/scale complement to ``grouped_quantile``'s exact 3-pass
+    refinement; rows-only driver check, error bound + block-split
+    merge-invariance pinned in pytest (tests/test_queries.py)."""
+    from ..stages.sketch import grouped_quantile_sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_sketch(ds, "event_type", "value")
+
+
 def hopping_window(sf_dir: str) -> ray.data.Dataset:
     """HOPPING-window aggregate (2 h windows every 1 h, per
     event_type): each event lands in size/step = 2 overlapping windows
@@ -2893,6 +2907,7 @@ QUERIES = {
     "left_outer_join": left_outer_join,
     "full_outer_join": full_outer_join,
     "hopping_window": hopping_window,
+    "quantile_sketch": quantile_sketch,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,

@@ -84,3 +84,91 @@ def grouped_approx_distinct(
             for k, reg in sorted(merged.items())
         ]
     )
+
+
+# -- DDSketch-style mergeable quantile sketch ------------------------------
+#
+# Relative-error quantile sketch over positive values: bucket(x) =
+# ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha), so any returned
+# quantile q' satisfies |q' - q| <= alpha * q.  Buckets are a sparse
+# (group, bucket) -> count map — trivially mergeable by summation, so
+# the distributed shape is: vectorized per-block bucket counts → one
+# Sum groupby over O(groups × log-range/alpha) tiny rows → per-group
+# quantile extraction from cumulative counts.  One corpus pass, no
+# sort, no per-row shuffle — the scale complement to the EXACT 3-pass
+# histogram-refinement quantiles (stages/quantile.py).
+
+def dd_bucket(values: np.ndarray, alpha: float) -> np.ndarray:
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return np.ceil(np.log(values) / np.log(gamma)).astype(np.int64)
+
+
+def dd_value(buckets: np.ndarray, alpha: float) -> np.ndarray:
+    """Bucket index -> representative value (midpoint of the bucket's
+    value range in the multiplicative sense)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return 2.0 * np.power(gamma, buckets.astype(np.float64)) / (gamma + 1.0)
+
+
+def grouped_quantile_sketch(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles with guaranteed relative error
+    ``alpha``, positive values only (the caller filters).  Returns one
+    row per group: (key, q50, q90, ... per ``quantiles``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key].to_numpy(zero_copy_only=False)
+        vals = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = vals > 0
+        keys, vals = keys[ok], vals[ok]
+        if len(vals) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        bk = dd_bucket(vals, alpha)
+        order = np.lexsort((bk, keys))
+        k, b2 = keys[order], bk[order]
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (b2[1:] != b2[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(k)))
+        return pa.table(
+            {
+                key: pa.array(k[starts]),
+                "bucket": pa.array(b2[starts]),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(g: pa.Table, quantiles=quantiles, alpha=alpha) -> pa.Table:
+        t = g.sort_by([("bucket", "ascending")])
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(n)
+        total = cum[-1]
+        out = {key: t[key].slice(0, 1)}
+        for q in quantiles:
+            rank = max(1, int(np.ceil(q * total)))
+            i = int(np.searchsorted(cum, rank))
+            out[f"q{int(q * 100)}"] = pa.array(
+                [float(dd_value(bk[i : i + 1], alpha)[0])], pa.float64()
+            )
+        return pa.table(out)
+
+    return agg.groupby(key).map_groups(finalize, batch_format="pyarrow")

@@ -230,3 +230,54 @@ def test_truncate_tokens_step():
     out = truncate_tokens(b, max_len=2)
     assert out["tokens"].to_pylist() == [[1, 2], [5]]
     assert out["n_tok"].to_pylist() == [2, 1]
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """DDSketch guarantee: each reported quantile within 1% RELATIVE
+    error of the exact sample quantile (rank-matched)."""
+    import numpy as np
+
+    from tartare_ray.pipelines.queries import quantile_sketch
+
+    got = quantile_sketch(SF).to_pandas().set_index("event_type")
+    import duckdb
+
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT event_type,
+                   quantile_disc(value, 0.5) q50,
+                   quantile_disc(value, 0.9) q90,
+                   quantile_disc(value, 0.99) q99
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE value > 0 GROUP BY event_type"""
+    ).df().set_index("event_type")
+    for et in exact.index:
+        for q in ("q50", "q90", "q99"):
+            a, e = float(got.loc[et, q]), float(exact.loc[et, q])
+            assert abs(a - e) <= 0.011 * e + 1e-9, (et, q, a, e)
+
+
+def test_quantile_sketch_is_block_invariant(ray_session):
+    """Merging partial bucket counts is exact: 1 block vs many blocks
+    produce identical sketch output."""
+    import pyarrow as pa
+    import ray.data
+
+    from tartare_ray.stages.sketch import grouped_quantile_sketch
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    t = pa.table(
+        {
+            "k": pa.array(rng.choice(["a", "b"], 5000)),
+            "v": pa.array(rng.lognormal(3, 2, 5000)),
+        }
+    )
+    one = grouped_quantile_sketch(ray.data.from_arrow(t), "k", "v").to_pandas()
+    many = grouped_quantile_sketch(
+        ray.data.from_arrow(t).repartition(23), "k", "v"
+    ).to_pandas()
+    one = one.sort_values("k", ignore_index=True)
+    many = many.sort_values("k", ignore_index=True)
+    assert one.equals(many)
