@@ -199,3 +199,244 @@ class IncrementalAggView:
                 f"sum_{self.sum_col}": pa.array([state[k][1] for k in ks], pa.float64()),
             }
         )
+
+
+class IncrementalMinMaxView:
+    """min(val_col) (or max) per group_col, maintained per epoch.
+
+    MIN/MAX are NOT invertible — retracting the current minimum cannot
+    be repaired from the delta alone.  Standard incremental design:
+    per group, a BUFFER of the ``buffer_n`` smallest live (value,
+    doc_id) entries plus (a) a ``complete`` flag — buffer holds the
+    whole live group — and (b) a ``bound``: the smallest value ever
+    discarded or ignored since the group was last complete.  The
+    buffered minimum is provably correct while ``buf[0] <= bound``
+    (anything untracked is >= bound); when retractions break that — or
+    empty an incomplete buffer — the group joins the RARE rescan path:
+    one two-column pruned snapshot pass at that epoch rebuilds every
+    exhausted group's buffer in a single batch.  Otherwise per-epoch
+    cost matches the count/sum view: touched keys' previous state via
+    partition-local delta-direct chain-suffix lookups, O(epoch
+    winners) doc-level delta rows to the driver, crash-safe JSON state
+    per epoch (same ``_views/`` layout ⇒ same GC retention pin).
+
+    ``mode="max"`` negates values internally (max = -min(-x))."""
+
+    def __init__(self, engine, name, group_col, val_col, mode="min", buffer_n=8):
+        assert mode in ("min", "max")
+        self.engine = engine
+        self.name = name
+        self.group_col = group_col
+        self.val_col = val_col
+        self.mode = mode
+        self.buffer_n = buffer_n
+        self._dir = os.path.join(engine.table_root, "_views", name)
+
+    _path = IncrementalAggView._path
+    _load_latest = IncrementalAggView._load_latest
+    _persist = IncrementalAggView._persist
+
+    def _sign(self) -> float:
+        return 1.0 if self.mode == "min" else -1.0
+
+    # -- one epoch's doc-level delta rows ------------------------------------
+    def _epoch_rows(self, epoch: int) -> list[dict]:
+        eng = self.engine
+        m = load_epoch(eng.table_root, epoch)
+        parent_m = (
+            load_epoch(eng.table_root, m.parent_epoch)
+            if m.parent_epoch is not None
+            else m
+        )
+        parent_chains = eng._chains(parent_m) if m.parent_epoch is not None else {}
+        parent_schema = parent_m.schema
+        P = parent_m.num_partitions or eng.cfg.num_partitions
+        group_col, val_col = self.group_col, self.val_col
+        table_root = eng.table_root
+
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "part", pa.array(hash_partition_ids(b["doc_id"], P))
+            )
+
+        def per_part(g: pa.Table) -> pa.Table:
+            from ..stages.compact import lookup_keys_in_chain
+
+            p = int(g["part"][0].as_py())
+            ids = g["doc_id"].combine_chunks()
+            og = pa.nulls(len(g), pa.string())
+            ov = pa.nulls(len(g), pa.float64())
+            chain = parent_chains.get(p)
+            if chain:
+                hit = lookup_keys_in_chain(
+                    table_root, chain, parent_schema, ids,
+                    ["doc_id", group_col, val_col],
+                )
+                if len(hit):
+                    pos = {d: i for i, d in enumerate(hit["doc_id"].to_pylist())}
+                    hg = hit[group_col].to_pylist()
+                    hv = hit[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                    og = pa.array(
+                        [hg[pos[d]] if d in pos else None for d in ids.to_pylist()],
+                        pa.string(),
+                    )
+                    ov = pa.array(
+                        [float(hv[pos[d]]) if d in pos else None for d in ids.to_pylist()],
+                        pa.float64(),
+                    )
+            live = pa.compute.fill_null(pa.compute.not_equal(g["op"], "D"), True)
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "had_old": pa.array(
+                        pa.compute.is_valid(og).to_numpy(zero_copy_only=False)
+                    ),
+                    "old_g": og,
+                    "old_v": ov,
+                    "is_live": pa.array(live.to_numpy(zero_copy_only=False)),
+                    "new_g": g[group_col],
+                    "new_v": pa.compute.cast(g[val_col], pa.float64()),
+                }
+            )
+
+        feed = eng.changes_dataset(epoch).map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return (
+            feed.groupby("part").map_groups(per_part, batch_format="pyarrow").take_all()
+        )
+
+    # -- buffer algebra -------------------------------------------------------
+    @staticmethod
+    def _gkey(g) -> str:
+        return "\x00null" if g is None else str(g)
+
+    def _retract(self, state: dict, g, doc: str) -> None:
+        ent = state.get(self._gkey(g))
+        if ent:
+            ent["buf"] = [e for e in ent["buf"] if e[1] != doc]
+
+    def _insert(self, state: dict, g, doc: str, v: float) -> None:
+        k = self._gkey(g)
+        ent = state.setdefault(k, {"buf": [], "complete": True, "bound": None})
+        buf = [e for e in ent["buf"] if e[1] != doc]
+        buf.append([v, doc])
+        buf.sort(key=lambda e: (e[0], e[1]))
+        if len(buf) > self.buffer_n:
+            dropped = buf[self.buffer_n :]
+            buf = buf[: self.buffer_n]
+            ent["complete"] = False
+            lo = min(e[0] for e in dropped)
+            ent["bound"] = lo if ent["bound"] is None else min(ent["bound"], lo)
+        ent["buf"] = buf
+
+    def _needs_rescan(self, ent: dict) -> bool:
+        if ent["complete"]:
+            return False
+        if not ent["buf"]:
+            return True
+        return ent["bound"] is not None and ent["buf"][0][0] > ent["bound"]
+
+    # -- the rare path ---------------------------------------------------------
+    def _rescan(self, state: dict, groups: list[str], epoch: int) -> None:
+        """Rebuild exhausted groups' buffers from one two-column pruned
+        snapshot pass at ``epoch`` — batched over all of them."""
+        sign = self._sign()
+        want = np.array(sorted(set(groups)), dtype=object)
+        group_col, val_col, N = self.group_col, self.val_col, self.buffer_n
+
+        def local_topn(b: pa.Table) -> pa.Table:
+            gs = b[group_col].to_pylist()
+            keys = np.array(
+                ["\x00null" if g is None else str(g) for g in gs], dtype=object
+            )
+            m = np.isin(keys, want)
+            empty = pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.string()),
+                    "v": pa.array([], pa.float64()),
+                }
+            )
+            if not m.any():
+                return empty
+            sub = b.filter(pa.array(m))
+            kk = keys[m]
+            vv = sign * sub[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            dd = np.asarray(sub["doc_id"].to_pylist(), dtype=object)
+            order = np.lexsort((dd, vv, kk))
+            kk, vv, dd = kk[order], vv[order], dd[order]
+            new = np.r_[True, kk[1:] != kk[:-1]]
+            run_start = np.maximum.accumulate(np.where(new, np.arange(len(kk)), 0))
+            keep = (np.arange(len(kk)) - run_start) <= N  # N+1 rows ⇒ completeness known
+            return pa.table(
+                {
+                    "g": pa.array(kk[keep], pa.string()),
+                    "doc_id": pa.array(dd[keep], pa.string()),
+                    "v": pa.array(vv[keep], pa.float64()),
+                }
+            )
+
+        rows = (
+            self.engine.snapshot_dataset(
+                epoch=epoch, columns=["doc_id", group_col, val_col]
+            )
+            .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        per_g: dict[str, list] = {g: [] for g in want}
+        for r in rows:
+            per_g[r["g"]].append([float(r["v"]), r["doc_id"]])
+        for g in want:
+            ent = sorted(per_g[g], key=lambda e: (e[0], e[1]))
+            if not ent:
+                state.pop(g, None)  # no live docs left
+            else:
+                state[g] = {
+                    "buf": ent[: self.buffer_n],
+                    "complete": len(ent) <= self.buffer_n,
+                    "bound": None,
+                }
+
+    # -- public -----------------------------------------------------------------
+    def update_to(self, epoch: int | None = None) -> dict:
+        """Fold epoch deltas into the persisted view up to ``epoch``
+        (default: CURRENT); returns ``{group: entry}`` state."""
+        cur = load_current(self.engine.table_root)
+        if cur is None and epoch is None:
+            return {}
+        target = cur.epoch if epoch is None else epoch
+        have, state = self._load_latest(target)
+        sign = self._sign()
+        for e in range(have + 1, target + 1):
+            rows = self._epoch_rows(e)
+            for r in rows:  # retract every touched doc's previous state
+                if r["had_old"]:
+                    self._retract(state, r["old_g"], r["doc_id"])
+            for r in rows:  # fold the live winners back in
+                if r["is_live"] and r["new_v"] is not None:
+                    self._insert(state, r["new_g"], r["doc_id"], sign * float(r["new_v"]))
+            # groups whose buffered minimum is no longer provably
+            # correct (emptied, or min above the discard bound), plus
+            # complete-and-empty groups that simply vanish
+            state = {
+                k: ent for k, ent in state.items() if ent["buf"] or not ent["complete"]
+            }
+            stale = [k for k, ent in state.items() if self._needs_rescan(ent)]
+            if stale:
+                self._rescan(state, stale, e)
+            self._persist(e, state)
+        return state
+
+    def as_table(self, epoch: int | None = None) -> pa.Table:
+        state = self.update_to(epoch)
+        sign = self._sign()
+        ks = sorted(state)
+        return pa.table(
+            {
+                self.group_col: pa.array(ks, pa.string()),
+                f"{self.mode}_{self.val_col}": pa.array(
+                    [sign * state[k]["buf"][0][0] for k in ks], pa.float64()
+                ),
+            }
+        )

@@ -76,3 +76,113 @@ def test_view_resumes_from_persisted_state(tmp_path, ray_session):
     expect = direct_agg(eng.snapshot_table(), "source", "n_tok")
     assert {k: v[0] for k, v in state.items()} == {k: v[0] for k, v in expect.items()}
     assert os.path.exists(os.path.join(eng.table_root, "_views", "v", "e000003.json"))
+
+
+def _write_rows(path, rows):
+    """rows: (lsn, op, doc_id, tokens) — the minhash-index test helper
+    shape, local copy (module independence)."""
+    import pyarrow.parquet as pq
+
+    from tartare_ray.schema import CHANGE_SCHEMA
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array([r[2] for r in rows], pa.string()),
+            "tokens": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(r[3]) if r[3] is not None else None for r in rows], pa.int32()
+            ),
+            "source": pa.array(
+                [r[4] if len(r) > 4 else ("s" if r[3] is not None else None) for r in rows],
+                pa.string(),
+            ),
+            "schema_version": pa.array([1] * len(rows), pa.int32()),
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+
+
+def _direct_min(snap: pa.Table, group_col: str, val_col: str) -> dict:
+    out = {}
+    for row in snap.to_pylist():
+        k = str(row[group_col])
+        v = float(row[val_col])
+        out[k] = min(out.get(k, v), v)
+    return out
+
+
+def test_minmax_view_tracks_snapshot_and_rescans(tmp_path, ray_session):
+    """MIN view with a TINY buffer (N=2): epoch 2 deletes/updates away
+    every buffered minimum of group 'a' — forcing the rescan path —
+    and the view still equals the direct fold at every epoch."""
+    from tartare_ray.pipelines.views import IncrementalMinMaxView
+
+    log = str(tmp_path / "log")
+    # group = source; value = n_tok (len of tokens)
+    _write_rows(
+        f"{log}/events-000000.parquet",
+        [
+            (1, "I", "d1", [1] * 3, "a"),     # a: 3
+            (2, "I", "d2", [1] * 5, "a"),     # a: 5
+            (3, "I", "d3", [1] * 9, "a"),     # a: 9  (outside N=2 buffer)
+            (4, "I", "d4", [1] * 7, "b"),     # b: 7
+        ],
+    )
+    eng = CdcEngine(
+        log, str(tmp_path / "tbl"), EngineConfig(num_partitions=2, epoch_max_files=1)
+    )
+    eng.replay()
+    view = IncrementalMinMaxView(eng, "min_ntok", "source", "n_tok", buffer_n=2)
+    state = view.update_to()
+    snap = eng.snapshot_table()
+    assert _direct_min(snap, "source", "n_tok") == {
+        k: e["buf"][0][0] for k, e in state.items()
+    }
+    assert state["a"]["complete"] is False  # d3 was trimmed from the buffer
+
+    # epoch 2: delete d1, move d2 to group b — group a's buffer empties
+    # while incomplete (d3 is untracked) → rescan must recover a: 9
+    _write_rows(
+        f"{log}/events-000001.parquet",
+        [(5, "D", "d1", None), (6, "U", "d2", [1] * 4, "b")],
+    )
+    eng.replay()
+    state = view.update_to()
+    snap = eng.snapshot_table()
+    expect = _direct_min(snap, "source", "n_tok")
+    got = {k: e["buf"][0][0] for k, e in state.items()}
+    assert got == expect == {"a": 9.0, "b": 4.0}
+    assert state["a"]["complete"] is True  # rebuilt exactly by the rescan
+
+    # epoch 3: delete the LAST doc of group a → the group must vanish
+    _write_rows(f"{log}/events-000002.parquet", [(7, "D", "d3", None)])
+    eng.replay()
+    t = view.as_table()
+    assert t.to_pydict() == {"source": ["b"], "min_n_tok": [4.0]}
+
+
+def test_max_view_mode(tmp_path, ray_session):
+    from tartare_ray.pipelines.views import IncrementalMinMaxView
+
+    log = str(tmp_path / "log")
+    _write_rows(
+        f"{log}/events-000000.parquet",
+        [(1, "I", "x", [1] * 2, "g"), (2, "I", "y", [1] * 11, "g")],
+    )
+    eng = CdcEngine(
+        log, str(tmp_path / "tbl"), EngineConfig(num_partitions=2, epoch_max_files=1)
+    )
+    eng.replay()
+    view = IncrementalMinMaxView(eng, "max_ntok", "source", "n_tok", mode="max")
+    t = view.as_table()
+    assert t.to_pydict() == {"source": ["g"], "max_n_tok": [11.0]}
+    # retract the max — the buffer (complete) repairs without rescan
+    _write_rows(f"{log}/events-000001.parquet", [(3, "D", "y", None)])
+    eng.replay()
+    assert view.as_table().to_pydict() == {"source": ["g"], "max_n_tok": [2.0]}
