@@ -2135,6 +2135,20 @@ def cdc_incremental_view(sf_dir: str) -> pa.Table:
     return IncrementalAggView(eng, "by_source", "source", "n_tok").as_table()
 
 
+def cdc_minmax_view(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained MIN view over the flagship table
+    (pipelines/views.py::IncrementalMinMaxView): the non-invertible
+    aggregate — per-group bounded buffer + discard bound, batched
+    pruned rescan only when retractions break the bound.  Value-checked
+    against the direct SQL MIN of the declaratively-rebuilt final
+    state; forced-rescan semantics pytest-asserted
+    (tests/test_views.py)."""
+    from .views import IncrementalMinMaxView
+
+    eng = run_flagship(sf_dir)
+    return IncrementalMinMaxView(eng, "min_ntok_view", "source", "n_tok").as_table()
+
+
 def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """Vocabulary statistics over the committed table's ``tokens``
     list column (the input_hint's core payload): per-block
@@ -2846,6 +2860,7 @@ QUERIES = {
     "cdc_apply_small": cdc_apply_small,
     "cdc_replica_sync": cdc_replica_sync,
     "cdc_incremental_view": cdc_incremental_view,
+    "cdc_minmax_view": cdc_minmax_view,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_time_travel": cdc_time_travel,
     "cdc_vocab_stats": cdc_vocab_stats,
@@ -2893,11 +2908,11 @@ QUERIES = {
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
     "curation_pipeline": curation_pipeline,
-    "tokens_per_lang": tokens_per_lang,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "tokens_per_lang": tokens_per_lang,
     "cdc_minhash_index": cdc_minhash_index,
     "ann_pq_topk": ann_pq_topk,
     "token_count": token_count,
@@ -3566,6 +3581,19 @@ ORACLE_SQL = {
         )
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_tok) AS DOUBLE) AS sum_n_tok
+        FROM final GROUP BY source
+    """,
+    "cdc_minmax_view": """
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n0
+            FROM documents
+        ), final AS (
+            SELECT source,
+                   CASE WHEN doc_id % 5 < 2 THEN n0 + 1 ELSE n0 END AS n_tok
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT source, CAST(min(n_tok) AS DOUBLE) AS min_n_tok
         FROM final GROUP BY source
     """,
     "cdc_vocab_stats": """
