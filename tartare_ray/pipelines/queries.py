@@ -2149,6 +2149,21 @@ def cdc_minmax_view(sf_dir: str) -> pa.Table:
     return IncrementalMinMaxView(eng, "min_ntok_view", "source", "n_tok").as_table()
 
 
+def cdc_quantile_view(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained DDSketch quantile view (p50/p90/p99 of
+    n_tok per source) over the flagship table — bucket counts are
+    INVERTIBLE, so retractions maintain the sketch exactly with no
+    rescan path (pipelines/views.py::IncrementalQuantileView).
+    Rows-only driver check (the ceil∘ln bucket boundary is not
+    float-safe to reproduce in SQL); exact equality with a
+    from-scratch sketch at every epoch is pytest-asserted
+    (tests/test_views.py)."""
+    from .views import IncrementalQuantileView
+
+    eng = run_flagship(sf_dir)
+    return IncrementalQuantileView(eng, "q_ntok_view", "source", "n_tok").as_table()
+
+
 def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """Vocabulary statistics over the committed table's ``tokens``
     list column (the input_hint's core payload): per-block
@@ -2913,6 +2928,7 @@ QUERIES = {
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "tokens_per_lang": tokens_per_lang,
+    "cdc_quantile_view": cdc_quantile_view,
     "cdc_minhash_index": cdc_minhash_index,
     "ann_pq_topk": ann_pq_topk,
     "token_count": token_count,

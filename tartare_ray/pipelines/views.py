@@ -440,3 +440,175 @@ class IncrementalMinMaxView:
                 ),
             }
         )
+
+
+class IncrementalQuantileView:
+    """Approximate per-group quantiles (DDSketch, 1% relative error)
+    maintained incrementally from the change feed — unlike MIN/MAX,
+    the sketch IS invertible: state is (group, bucket) → count, and a
+    doc's retraction simply decrements its old bucket.  Per-epoch cost
+    is identical to the count/sum view (touched keys' previous state
+    via delta-direct chain-suffix lookups, O(touched groups × buckets)
+    delta rows), with NO rescan path at all.  State JSON per epoch in
+    ``_views/`` (same crash-safety + GC pin)."""
+
+    def __init__(self, engine, name, group_col, val_col, alpha: float = 0.01):
+        self.engine = engine
+        self.name = name
+        self.group_col = group_col
+        self.val_col = val_col
+        self.alpha = alpha
+        self._dir = os.path.join(engine.table_root, "_views", name)
+
+    _path = IncrementalAggView._path
+    _load_latest = IncrementalAggView._load_latest
+    _persist = IncrementalAggView._persist
+
+    def _bucket_contrib(self, groups, vals, sign: int) -> dict:
+        from ..stages.sketch import dd_bucket
+
+        groups = np.array(
+            ["\x00null" if g is None else str(g) for g in groups], dtype=object
+        )
+        vals = np.asarray(vals, dtype=np.float64)
+        ok = vals > 0  # DDSketch domain: positive values
+        groups, vals = groups[ok], vals[ok]
+        out: dict = {}
+        if len(vals) == 0:
+            return out
+        bk = dd_bucket(vals, self.alpha)
+        order = np.lexsort((bk, groups))
+        g, b = groups[order], bk[order]
+        new = np.r_[True, (g[1:] != g[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(g)))
+        for s, c in zip(starts, counts):
+            out.setdefault(str(g[s]), {})[str(int(b[s]))] = sign * int(c)
+        return out
+
+    def _epoch_delta(self, epoch: int) -> dict:
+        eng = self.engine
+        m = load_epoch(eng.table_root, epoch)
+        parent_m = (
+            load_epoch(eng.table_root, m.parent_epoch)
+            if m.parent_epoch is not None
+            else m
+        )
+        parent_chains = eng._chains(parent_m) if m.parent_epoch is not None else {}
+        parent_schema = parent_m.schema
+        P = parent_m.num_partitions or eng.cfg.num_partitions
+        group_col, val_col = self.group_col, self.val_col
+        table_root = eng.table_root
+        contrib = self._bucket_contrib
+
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "part", pa.array(hash_partition_ids(b["doc_id"], P))
+            )
+
+        def per_part(g: pa.Table) -> pa.Table:
+            from ..stages.compact import lookup_keys_in_chain
+
+            p = int(g["part"][0].as_py())
+            deltas: dict = {}
+
+            def fold(d: dict) -> None:
+                for k, bks in d.items():
+                    acc = deltas.setdefault(k, {})
+                    for bk, c in bks.items():
+                        acc[bk] = acc.get(bk, 0) + c
+
+            chain = parent_chains.get(p)
+            if chain:
+                hit = lookup_keys_in_chain(
+                    table_root, chain, parent_schema,
+                    g["doc_id"].combine_chunks(),
+                    ["doc_id", group_col, val_col],
+                )
+                if len(hit):
+                    fold(
+                        contrib(
+                            hit[group_col].to_pylist(),
+                            hit[val_col].to_numpy(zero_copy_only=False),
+                            -1,
+                        )
+                    )
+            live = g.filter(
+                pa.compute.fill_null(pa.compute.not_equal(g["op"], "D"), True)
+            )
+            if len(live):
+                fold(
+                    contrib(
+                        live[group_col].to_pylist(),
+                        live[val_col].to_numpy(zero_copy_only=False),
+                        +1,
+                    )
+                )
+            gs, bs, cs = [], [], []
+            for k, bks in deltas.items():
+                for bk, c in bks.items():
+                    if c:
+                        gs.append(k)
+                        bs.append(int(bk))
+                        cs.append(c)
+            return pa.table(
+                {
+                    "g": pa.array(gs, pa.string()),
+                    "bucket": pa.array(bs, pa.int64()),
+                    "dn": pa.array(cs, pa.int64()),
+                }
+            )
+
+        feed = eng.changes_dataset(epoch).map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = feed.groupby("part").map_groups(per_part, batch_format="pyarrow").take_all()
+        out: dict = {}
+        for r in rows:
+            acc = out.setdefault(r["g"], {})
+            bk = str(int(r["bucket"]))
+            acc[bk] = acc.get(bk, 0) + int(r["dn"])
+        return out
+
+    def update_to(self, epoch: int | None = None) -> dict:
+        cur = load_current(self.engine.table_root)
+        if cur is None and epoch is None:
+            return {}
+        target = cur.epoch if epoch is None else epoch
+        have, state = self._load_latest(target)
+        for e in range(have + 1, target + 1):
+            for k, bks in self._epoch_delta(e).items():
+                acc = state.setdefault(k, {})
+                for bk, c in bks.items():
+                    n = acc.get(bk, 0) + c
+                    if n:
+                        acc[bk] = n
+                    else:
+                        acc.pop(bk, None)
+                if not acc:
+                    del state[k]
+            self._persist(e, state)
+        return state
+
+    def as_table(
+        self, epoch: int | None = None, quantiles: tuple = (0.5, 0.9, 0.99)
+    ) -> pa.Table:
+        from ..stages.sketch import dd_value
+
+        state = self.update_to(epoch)
+        ks = sorted(state)
+        cols: dict = {self.group_col: pa.array(ks, pa.string())}
+        per_q: dict = {q: [] for q in quantiles}
+        for k in ks:
+            bks = sorted((int(b), c) for b, c in state[k].items())
+            buckets = np.array([b for b, _ in bks], dtype=np.int64)
+            counts = np.array([c for _, c in bks], dtype=np.int64)
+            cum = np.cumsum(counts)
+            total = cum[-1]
+            for q in quantiles:
+                rank = max(1, int(np.ceil(q * total)))
+                i = int(np.searchsorted(cum, rank))
+                per_q[q].append(float(dd_value(buckets[i : i + 1], self.alpha)[0]))
+        for q in quantiles:
+            cols[f"q{int(q * 100)}"] = pa.array(per_q[q], pa.float64())
+        return pa.table(cols)

@@ -186,3 +186,52 @@ def test_max_view_mode(tmp_path, ray_session):
     _write_rows(f"{log}/events-000001.parquet", [(3, "D", "y", None)])
     eng.replay()
     assert view.as_table().to_pydict() == {"source": ["g"], "max_n_tok": [2.0]}
+
+
+def test_quantile_view_equals_direct_sketch_every_epoch(tmp_path, ray_session):
+    """The incrementally-maintained DDSketch view's bucket state equals
+    a from-scratch sketch of each epoch's snapshot — retractions
+    decrement buckets exactly (the invertibility property)."""
+    import numpy as np
+    import ray.data
+
+    from tartare_ray.pipelines.views import IncrementalQuantileView
+    from tartare_ray.stages.sketch import grouped_quantile_sketch
+
+    res = generate_log(
+        str(tmp_path / "log"),
+        GenConfig(n_events=3000, n_docs=250, events_per_file=1000),
+    )
+    eng = CdcEngine(
+        os.path.dirname(res.files[0]),
+        str(tmp_path / "table"),
+        EngineConfig(num_partitions=4, epoch_max_files=1),
+    )
+    view = IncrementalQuantileView(eng, "q_ntok", "source", "n_tok")
+    epochs = []
+    while eng.run_epoch() is not None:
+        epochs.append(True)
+    assert len(epochs) >= 2
+    got = view.as_table().to_pandas().sort_values("source", ignore_index=True)
+    direct = (
+        grouped_quantile_sketch(
+            eng.snapshot_dataset(columns=["source", "n_tok"]), "source", "n_tok"
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    assert got.equals(direct), (got, direct)
+    # an INTERMEDIATE epoch replays identically from scratch
+    v2 = IncrementalQuantileView(eng, "q_ntok", "source", "n_tok")
+    mid = v2.update_to(1)
+    d2 = (
+        grouped_quantile_sketch(
+            eng.snapshot_dataset(epoch=1, columns=["source", "n_tok"]),
+            "source",
+            "n_tok",
+        )
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    t2 = IncrementalQuantileView(eng, "q_ntok", "source", "n_tok").as_table(1)
+    assert t2.to_pandas().sort_values("source", ignore_index=True).equals(d2)
