@@ -316,10 +316,12 @@ class TokenDedupIndex(EpochDeltaIndex):
             losers, batch_format="pyarrow"
         )
 
-    def duplicate_groups(self) -> ray.data.Dataset:
-        """(fp, survivor, n_copies) for every fingerprint with ≥2 live
-        docs — min-doc_id survivor, same contract as cdc_token_dedup
-        but served FROM THE INDEX (no snapshot scan)."""
+    def duplicate_groups(self, min_copies: int = 2) -> ray.data.Dataset:
+        """(fp, survivor, n_copies) for every fingerprint with
+        ≥``min_copies`` live docs — min-doc_id survivor, same contract
+        as cdc_token_dedup but served FROM THE INDEX (no snapshot
+        scan).  ``min_copies=1`` returns every group (the full live
+        group census the driver oracle checks)."""
         import numpy as np
 
         def groups(g: pa.Table) -> pa.Table:
@@ -337,7 +339,7 @@ class TokenDedupIndex(EpochDeltaIndex):
             first = np.r_[True, fp[1:] != fp[:-1]]
             starts = np.flatnonzero(first)
             counts = np.diff(np.append(starts, n))
-            dup = counts >= 2
+            dup = counts >= min_copies
             idx = starts[dup]
             return pa.table(
                 {

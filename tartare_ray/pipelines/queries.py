@@ -2078,8 +2078,14 @@ def multimodal_meta(sf_dir: str) -> ray.data.Dataset:
 def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     """Full multimodal chain: attach blob → frame-sample (every 4th
     64-byte frame, actor pool, small batches) → byte-histogram feature
-    extraction (real, vectorized — the embedding-column shape).
-    Rows-only driver check; frame/byte arithmetic asserted in pytest."""
+    extraction (real, vectorized — the embedding-column shape).  The
+    64-bucket histogram folds to one SQL-reproducible polynomial
+    digest per doc (same ``(h*31 + x) % 1e9+7`` convention as
+    functions/text.py ``poly_hash_words``), so the whole binary
+    pipeline — UTF-8 payload bytes, frame sampling arithmetic, bucket
+    counts — is value-hash-checked against a DuckDB oracle built on
+    ``encode()``/``hex()`` byte extraction; frame/byte arithmetic is
+    additionally asserted in pytest."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         MM.attach_payload_batch, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -2098,7 +2104,33 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return feats
+
+    def digest(b: pa.Table) -> pa.Table:
+        feat = b["feature"]
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        n = len(feat)
+        M = 1000000007
+        if n == 0:
+            d = np.zeros(0, dtype=np.int64)
+        else:
+            off = feat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = feat.values.to_numpy(zero_copy_only=False)[
+                int(off[0]) : int(off[-1])
+            ].reshape(n, -1)
+            d = np.zeros(n, dtype=np.int64)
+            for j in range(flat.shape[1]):  # 64 vectorized passes
+                d = (d * 31 + flat[:, j]) % M
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "feat_digest": pa.array(d, pa.int64()),
+                "feat_nbytes": b["feat_nbytes"],
+                "n_frames_sampled": b["n_frames_sampled"],
+            }
+        )
+
+    return feats.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def cdc_apply_small(sf_dir: str) -> ray.data.Dataset:
@@ -2494,17 +2526,23 @@ def cdc_token_dedup(sf_dir: str) -> ray.data.Dataset:
 def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     """Incrementally-maintained dedup index (pipelines/dedup_index.py):
     the flagship table's change feed folds per epoch into fingerprint
-    deltas via consumer cursors (exactly-once), and the live
-    (doc_id, fp) state is served FROM THE INDEX — the snapshot's token
-    lists are never rescanned.  Rows-only driver check; equality with
-    the direct snapshot fold and duplicate-group semantics are
-    pytest-asserted (tests/test_dedup_index.py)."""
+    deltas via consumer cursors (exactly-once), and the live group
+    census is served FROM THE INDEX — the snapshot's token lists are
+    never rescanned.  Returns (survivor, n_copies) per live token
+    sequence, which a declarative DuckDB oracle reproduces by grouping
+    the rebuilt final state by the token ARRAY itself — so the driver
+    value-checks the INDEX's live state, not just row counts.
+    Equality with the direct snapshot fold and incremental update
+    semantics are additionally pytest-asserted
+    (tests/test_dedup_index.py)."""
     from .dedup_index import TokenDedupIndex
 
     eng = run_flagship(sf_dir)
     idx = TokenDedupIndex(eng)
     idx.update()
-    return idx.live_fingerprints()
+    return idx.duplicate_groups(min_copies=1).select_columns(
+        ["survivor", "n_copies"]
+    )
 
 
 def cdc_minhash_index(sf_dir: str) -> ray.data.Dataset:
@@ -3306,6 +3344,47 @@ ORACLE_SQL = {
                CAST(1 AS INTEGER) AS n_frames
         FROM documents
     """,
+    # The full binary chain (UTF-8 payload → every-4th-64-byte-frame
+    # sampling → 64-bucket byte histogram) is SQL-expressible: DuckDB
+    # extracts payload bytes via hex(encode(text)) and the histogram
+    # folds to the house polynomial digest.  Scalars (kept-byte count,
+    # sampled-frame count) come from list arithmetic on the byte-index
+    # range so zero-length payloads keep their row.
+    "multimodal_features": """
+        WITH raw AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ), vals AS (
+            SELECT doc_id,
+                   (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+            FROM (SELECT doc_id, h, unnest(range(0, n)) AS i FROM raw)
+            WHERE (i // 64) % 4 = 0
+        ), counts AS (
+            SELECT doc_id, byte // 4 AS bucket, count(*) AS c
+            FROM vals GROUP BY 1, 2
+        ), dense AS (
+            SELECT r.doc_id, b.bucket, COALESCE(c.c, 0) AS c
+            FROM (SELECT doc_id FROM raw) r
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+            LEFT JOIN counts c ON c.doc_id = r.doc_id AND c.bucket = b.bucket
+        ), digest AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list(c ORDER BY bucket)),
+                               (a, b) -> (a * 31 + b) % 1000000007) AS feat_digest
+            FROM dense GROUP BY doc_id
+        ), scalars AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(range(0, n), i -> (i // 64) % 4 = 0)) AS BIGINT)
+                       AS feat_nbytes,
+                   CAST(len(range(0, CAST(ceil(n / 64.0) AS BIGINT), 4)) AS BIGINT)
+                       AS n_frames_sampled
+            FROM raw
+        )
+        SELECT d.doc_id, d.feat_digest, s.feat_nbytes, s.n_frames_sampled
+        FROM digest d JOIN scalars s USING (doc_id)
+    """,
     # The CDC flagship's final replayed state IS SQL-expressible
     # because the change log is a pure function of the documents table
     # and the token derivation is a polynomial codepoint hash DuckDB
@@ -3657,9 +3736,36 @@ ORACLE_SQL = {
                CAST(len(t) AS BIGINT) AS n_tok
         FROM final GROUP BY t
     """,
+    # The INDEX-served live group census must equal grouping the
+    # rebuilt final state by the token array itself: same CTE as
+    # cdc_token_dedup minus n_tok (the index stores only fingerprints)
+    # — the driver value-checks the incremental index's live state
+    # end-to-end (feed folds, cursor exactly-once, delta compaction).
+    "cdc_dedup_index": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT min(doc_id) AS survivor, count(*) AS n_copies
+        FROM final GROUP BY t
+    """,
     # lang_id / doc_fingerprint / minhash_lsh_dedup / simhash_dedup /
     # ngram_jaccard_pairs / ann_lsh_pairs / bpe_encode /
-    # cdc_{schema_evolution,pack_sequences,dedup_index,export_shards}
+    # cdc_{schema_evolution,pack_sequences,export_shards}
     # are not SQL-expressible (heuristic scoring, hash-family-specific
     # signatures/fingerprints, LSH approximation, learned merges,
     # engine-internal lineage, block-order-dependent packing)
