@@ -1153,6 +1153,50 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "n_copies"])
 
 
+def paragraph_dedup(sf_dir: str, chunk_words: int = 8) -> ray.data.Dataset:
+    """Paragraph-level exact dedup — the C4/RefinedWeb curation staple:
+    every repeated paragraph unit across the corpus is dropped except
+    its FIRST occurrence (min doc_id, then position within doc); docs
+    keep their surviving paragraphs in order.  The unit here is a
+    fixed 8-word window (this synthetic corpus is single-line; a real
+    corpus splits on blank lines — same machinery, stages/text.py
+    ``paragraph_chunk_rows``).  Shape: chunk rows (block-local
+    first-occurrence combiner shrinks the shuffle) → hash-partition by
+    chunk → per-PARTITION vectorized argmin fold → survivors fold to
+    int64 hashes so the doc-side regroup moves three ints per chunk →
+    per-doc digest.  Output (doc_id, n_kept, kept_digest) is
+    value-checked against a DuckDB window-function oracle (the digest
+    is the house SQL-reproducible polynomial fold)."""
+    from ..stages.kernels import hash_partition_ids
+
+    P = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    def pre(b: pa.Table) -> pa.Table:
+        rows = TX.first_occurrence_fold(TX.paragraph_chunk_rows(b, chunk_words))
+        return rows.append_column(
+            "part", pa.array(hash_partition_ids(rows["chunk"], P).astype(np.int64))
+        )
+
+    def doc_tag(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import mix64
+
+        rows = TX.chunk_hash_rows(b)
+        d = rows["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (mix64(d.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return rows.append_column("part", pa.array(part))
+
+    chunks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = chunks.groupby("part").map_groups(
+        TX.first_occurrence_fold, batch_format="pyarrow"
+    )
+    hashed = winners.map_batches(doc_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("part").map_groups(
+        TX.doc_chunk_digest_fold, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup dedup suite (rows-only driver checks; semantics tested in pytest)
 # --------------------------------------------------------------------------
@@ -2963,6 +3007,7 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
+    "paragraph_dedup": paragraph_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "tokens_per_lang": tokens_per_lang,
@@ -3343,6 +3388,39 @@ ORACLE_SQL = {
                (octet_length(encode(text)) * 7) % 480 + 1 AS height,
                CAST(1 AS INTEGER) AS n_frames
         FROM documents
+    """,
+    # Keep-first paragraph dedup: the oracle ranks every occurrence of
+    # a chunk by (doc_id, position) with a window function and folds
+    # survivors per doc with the house polynomial digest — checked
+    # value-by-value against the two-shuffle Ray pipeline.
+    "paragraph_dedup": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), ch AS (
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(ws[8*i+1 : 8*i+8], ' ') AS chunk
+            FROM (SELECT doc_id, ws,
+                         unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i
+                  FROM w)
+        ), kept AS (
+            SELECT doc_id, chunk_idx, chunk FROM (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM ch) WHERE rn = 1
+        ), hashed AS (
+            SELECT doc_id, chunk_idx,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split(chunk, ''), c -> c <> ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM kept
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY chunk_idx)),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS kept_digest
+        FROM hashed GROUP BY doc_id
     """,
     # The full binary chain (UTF-8 payload → every-4th-64-byte-frame
     # sampling → 64-bucket byte histogram) is SQL-expressible: DuckDB

@@ -224,3 +224,110 @@ def bigram_counts_batch(batch: pa.Table) -> pa.Table:
             "n": pc.cast(counts.field("counts"), pa.int64()),
         }
     )
+
+
+def paragraph_chunk_rows(batch: pa.Table, chunk_words: int = 8) -> pa.Table:
+    """(chunk, doc_id, chunk_idx) rows — fixed-``chunk_words``-word
+    windows of each document, the dedup unit for ``paragraph_dedup``
+    (this synthetic corpus is single-line, so the 'paragraph' boundary
+    is a fixed word window; on a real corpus the same machinery runs
+    on a ``\\n\\n`` split).  Fully vectorized: one word split, one
+    global chunk-offset array, one Arrow ``binary_join`` — chunks tile
+    each document contiguously so list offsets need no per-row loop."""
+    words = T.word_lists(batch["text"])
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.diff(off)
+    counts = -(-nw // chunk_words)  # ceil; split always yields ≥1 word
+    total = int(counts.sum())
+    doc_of = np.repeat(np.arange(len(nw)), counts)
+    first = np.repeat(np.cumsum(counts) - counts, counts)
+    cidx = np.arange(total) - first
+    starts = off[doc_of] + chunk_words * cidx
+    bounds = np.append(starts, off[-1] if len(off) else 0)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), words.values),
+        " ",
+    )
+    return pa.table(
+        {
+            "chunk": chunks,
+            "doc_id": batch["doc_id"].take(pa.array(doc_of)),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+        }
+    )
+
+
+def first_occurrence_fold(g: pa.Table) -> pa.Table:
+    """Keep the argmin-(doc_id, chunk_idx) occurrence of every distinct
+    chunk in this hash partition — one sort + run mask, vectorized (P
+    Python calls per query, never one per chunk).  Used both as the
+    per-block combiner (shrinks the shuffle) and as the per-partition
+    reducer (all occurrences of a chunk co-locate by hash)."""
+    t = g.sort_by(
+        [("chunk", "ascending"), ("doc_id", "ascending"), ("chunk_idx", "ascending")]
+    )
+    c = t["chunk"].combine_chunks()
+    n = len(c)
+    if n <= 1:
+        return t
+    neq = pc.not_equal(c.slice(1), c.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(np.r_[True, neq]))
+
+
+def chunk_hash_rows(batch: pa.Table, mod: int = 1000000007) -> pa.Table:
+    """Surviving chunk rows → (doc_id, chunk_idx, h): the chunk string
+    folds to its polynomial codepoint hash HERE, so the doc-side
+    shuffle of ``paragraph_dedup`` moves three int64s per chunk, never
+    the paragraph text."""
+    h = T.poly_hash_words(
+        np.asarray(
+            batch["chunk"].combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=object,
+        ),
+        mod=mod,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "chunk_idx": batch["chunk_idx"],
+            "h": pa.array(h, pa.int64()),
+        }
+    )
+
+
+def doc_chunk_digest_fold(g: pa.Table, mod: int = 1000000007) -> pa.Table:
+    """(doc_id, n_kept, kept_digest) per document from its surviving
+    chunk hashes: the house polynomial fold of per-chunk polynomial
+    hashes in chunk order — SQL-reproducible (the cdc_apply_small
+    convention), so paragraph-level dedup gets a FULL value oracle.
+    Vectorized as masked column passes over a (docs × max_chunks)
+    hash matrix."""
+    t = g.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_digest": pa.array([], pa.int64()),
+            }
+        )
+    h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    counts = np.diff(np.append(starts, n))
+    k = int(counts.max())
+    rank = np.arange(n) - np.repeat(starts, counts)
+    mat = np.zeros((len(starts), k), dtype=np.int64)
+    mat[np.repeat(np.arange(len(starts)), counts), rank] = h
+    dig = np.zeros(len(starts), dtype=np.int64)
+    for j in range(k):  # ≤ max chunks/doc masked passes, not per-doc
+        m = counts > j
+        dig[m] = (dig[m] * 31 + mat[m, j]) % mod
+    return pa.table(
+        {
+            "doc_id": pa.array(d[starts]),
+            "n_kept": pa.array(counts.astype(np.int64)),
+            "kept_digest": pa.array(dig),
+        }
+    )

@@ -269,3 +269,47 @@ def test_minhash_cluster_collapses_planted_family(planted_dir, ray_session):
     # the planted family is connected: 0/1 identical, 2=0+tail, 3 near —
     # all must share survivor 0
     assert got.get(1) == 0 and got.get(2) == 0
+
+
+def test_paragraph_dedup_keep_first_and_digest(planted_dir, ray_session):
+    """Paragraph (8-word-chunk) dedup vs a brute-force keep-first
+    emulation: survivors, counts, and the SQL-convention digest must
+    all match; docs 0/1 are identical so doc 1 keeps nothing."""
+    from tartare_ray.pipelines.queries import paragraph_dedup
+
+    df = paragraph_dedup(planted_dir).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_kept), int(r.kept_digest)) for r in df.itertuples()
+    }
+
+    tbl = pq.read_table(os.path.join(planted_dir, "documents.parquet"))
+    M = 1000000007
+
+    def ph(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % M
+        return h
+
+    occ: dict[str, tuple[int, int]] = {}
+    chunks_by_doc = {}
+    for did, tx in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ws = tx.strip().split()
+        cs = [" ".join(ws[8 * j : 8 * j + 8]) for j in range((len(ws) + 7) // 8)]
+        chunks_by_doc[did] = cs
+        for j, c in enumerate(cs):
+            if c not in occ or (did, j) < occ[c]:
+                occ[c] = (did, j)
+    exp = {}
+    for did, cs in chunks_by_doc.items():
+        kept = [c for j, c in enumerate(cs) if occ[c] == (did, j)]
+        if not kept:
+            continue
+        d = 0
+        for c in kept:
+            d = (d * 31 + ph(c)) % M
+        exp[did] = (len(kept), d)
+
+    assert got == exp
+    assert 1 not in got  # doc 1 is an exact copy of doc 0 — fully deduped
+    assert got[0] == (5, exp[0][1])  # 40 words → 5 chunks, all first
