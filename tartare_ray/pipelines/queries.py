@@ -2980,17 +2980,22 @@ QUERIES = {
     "cdc_dedup_index": cdc_dedup_index,
     "cdc_export_shards": cdc_export_shards,
     "dedup_clusters": dedup_clusters,
+    # — never-driver-checked round-3 additions rotated INTO the window
+    #   (r2 verdict #1: every CDC/ANN entry gets a driver row; the
+    #   displaced relational variants below were green r1 AND r2)
+    "cdc_quantile_view": cdc_quantile_view,
+    "cdc_minhash_index": cdc_minhash_index,
+    "ann_pq_topk": ann_pq_topk,
+    "paragraph_dedup": paragraph_dedup,
+    "full_outer_join": full_outer_join,
+    "hopping_window": hopping_window,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "join_agg": join_agg,
-    "topk_sort": topk_sort,
-    "distinct_dedup": distinct_dedup,
     "latest_event_per_user": latest_event_per_user,
     "topk_per_group": topk_per_group,
-    "union_all": union_all,
-    "json_extract": json_extract,
     "validity_period": validity_period,
     "sessionize": sessionize,
     "window_agg": window_agg,
@@ -2998,8 +3003,6 @@ QUERIES = {
     "range_join": range_join,
     "broadcast_join": broadcast_join,
     "anti_join": anti_join,
-    "semi_join": semi_join,
-    "count_distinct": count_distinct,
     "grouped_quantile": grouped_quantile,
     "rolling_window": rolling_window,
     "word_entropy": word_entropy,
@@ -3007,20 +3010,20 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
-    "paragraph_dedup": paragraph_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "topk_sort": topk_sort,
+    "distinct_dedup": distinct_dedup,
+    "union_all": union_all,
+    "json_extract": json_extract,
+    "semi_join": semi_join,
+    "count_distinct": count_distinct,
     "tokens_per_lang": tokens_per_lang,
-    "cdc_quantile_view": cdc_quantile_view,
-    "cdc_minhash_index": cdc_minhash_index,
-    "ann_pq_topk": ann_pq_topk,
     "token_count": token_count,
     "text_stats": text_stats,
     "bpe_token_count": bpe_token_count,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
-    "full_outer_join": full_outer_join,
-    "hopping_window": hopping_window,
     "quantile_sketch": quantile_sketch,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
