@@ -57,15 +57,19 @@ BENCH_QUERIES = [
     "ngram_topk",
     "left_outer_join",
     "exact_dedup",
+    "paragraph_dedup",
     "minhash_lsh_dedup",
     "embedding_dedup",
     "ann_lsh_pairs",
     "token_rarity",
     "stratified_sample",
     "ann_topk",
+    "ann_pq_topk",
     "multimodal_meta",
+    "multimodal_features",
     "cdc_pack_sequences",
     "cdc_time_travel",
+    "cdc_dedup_index",
     "dedup_clusters",
     "curation_pipeline",
 ]

@@ -2353,6 +2353,81 @@ def stratified_sample(sf_dir: str, k: int = 40) -> ray.data.Dataset:
     )
 
 
+def corpus_shuffle(sf_dir: str, seed: int = 42) -> ray.data.Dataset:
+    """Deterministic seeded GLOBAL training shuffle with exact rank
+    assignment — the op that orders a corpus before sharding.  The
+    permutation key is SQL-reproducible: the house polynomial hash of
+    ``'s<seed>:' || doc_id`` followed by a nonlinear digit-reverse mix
+    (fold of the zero-padded decimal digits, least-significant first —
+    plain integer div/mod on this side, ``reverse(lpad(...))`` in
+    DuckDB), so consecutive doc_ids scatter across the whole range.
+
+    Rank is assigned DISTRIBUTED, no driver-side global sort: keys are
+    monotone-binned into P fixed-width hash ranges, a P-row count
+    aggregate prefix-sums into per-bucket offsets on the driver
+    (O(P) rows, not data), and each bucket folds rank = offset +
+    local sort index vectorized.  The shuffle moves three int64s per
+    doc; text never moves.  Output (doc_id, h, shuffle_rank) is
+    value-checked against a DuckDB ``row_number() OVER (ORDER BY h,
+    doc_id)`` oracle."""
+    from ..functions.text import poly_hash_words
+
+    MOD = 1000000007
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    width = MOD // P + 1
+    prefix = f"s{seed}:"
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string()).combine_chunks()
+        salted = np.char.add(
+            prefix, np.asarray(ids.to_numpy(zero_copy_only=False), dtype="U")
+        )
+        h1 = poly_hash_words(np.asarray(salted, dtype=object), mod=MOD)
+        h2 = np.zeros(len(h1), dtype=np.int64)
+        for k in range(10):  # 10 decimal digits cover h1 < 1e9+7
+            h2 = (h2 * 31 + 48 + (h1 // 10**k) % 10) % MOD
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "h": pa.array(h2, pa.int64()),
+                "bucket": pa.array(h2 // width, pa.int64()),
+            }
+        )
+
+    keyed_ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # (doc_id, h, bucket) int64 rows — the reduced
+    # projection both passes share; at 100 TB this is ~24 B/doc,
+    # object-store-resident and spillable, never the text
+
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in keyed_ds.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # ≤ P rows
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+
+    def rank_fold(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        base = offsets[int(t["bucket"][0].as_py())]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": t["h"],
+                "shuffle_rank": pa.array(
+                    base + np.arange(len(t), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(rank_fold, batch_format="pyarrow")
+
+
 def temperature_sample(sf_dir: str) -> ray.data.Dataset:
     """Temperature-based source rebalancing (T = 0.5): keep
     ``ceil(sqrt(n_source))`` docs per source, ranked by the
@@ -2987,13 +3062,13 @@ QUERIES = {
     "cdc_minhash_index": cdc_minhash_index,
     "ann_pq_topk": ann_pq_topk,
     "paragraph_dedup": paragraph_dedup,
+    "corpus_shuffle": corpus_shuffle,
     "full_outer_join": full_outer_join,
     "hopping_window": hopping_window,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
-    "join_agg": join_agg,
     "latest_event_per_user": latest_event_per_user,
     "topk_per_group": topk_per_group,
     "validity_period": validity_period,
@@ -3014,6 +3089,7 @@ QUERIES = {
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "topk_sort": topk_sort,
     "distinct_dedup": distinct_dedup,
+    "join_agg": join_agg,
     "union_all": union_all,
     "json_extract": json_extract,
     "semi_join": semi_join,
@@ -3391,6 +3467,30 @@ ORACLE_SQL = {
                (octet_length(encode(text)) * 7) % 480 + 1 AS height,
                CAST(1 AS INTEGER) AS n_frames
         FROM documents
+    """,
+    # Seeded global shuffle: the oracle recomputes the permutation key
+    # (salted polynomial hash → digit-reverse mix, both exact integer
+    # arithmetic) and ranks with a window function; the Ray side
+    # assigns the identical rank distributed (bucket prefix-sums).
+    "corpus_shuffle": """
+        WITH h1 AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split('s42:' || CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM documents
+        ), h2 AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(reverse(lpad(CAST(h AS VARCHAR), 10, '0')), ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM h1
+        )
+        SELECT doc_id, h,
+               row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_rank
+        FROM h2
     """,
     # Keep-first paragraph dedup: the oracle ranks every occurrence of
     # a chunk by (doc_id, position) with a window function and folds

@@ -281,3 +281,18 @@ def test_quantile_sketch_is_block_invariant(ray_session):
     one = one.sort_values("k", ignore_index=True)
     many = many.sort_values("k", ignore_index=True)
     assert one.equals(many)
+
+
+def test_corpus_shuffle_rank_is_exact_permutation(ray_session):
+    """Distributed rank assignment (bucket prefix-sums) must produce
+    exactly 0..n-1, ordered lexicographically by (h, doc_id), and be
+    deterministic across runs."""
+    from tartare_ray.pipelines.queries import corpus_shuffle
+
+    df = corpus_shuffle(SF).to_pandas().sort_values("shuffle_rank", ignore_index=True)
+    n = len(df)
+    assert df["shuffle_rank"].tolist() == list(range(n))
+    keys = list(zip(df["h"], df["doc_id"]))
+    assert keys == sorted(keys)
+    df2 = corpus_shuffle(SF).to_pandas().sort_values("shuffle_rank", ignore_index=True)
+    assert df.equals(df2)
