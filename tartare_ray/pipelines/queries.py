@@ -3017,6 +3017,151 @@ def pivot_status(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------
+# Round-3 closing-session additions: event-analytics + curation operators
+# --------------------------------------------------------------------------
+
+def funnel_depth(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-funnel analysis (view → click → purchase) — the event
+    analytics primitive: per user, how many funnel stages completed IN
+    ORDER, each stage's event strictly after the previous stage's
+    completion time (min-time semantics; same-microsecond ties do NOT
+    advance).
+
+    Scale shape: stage filter + stage codes fused into the scan batch
+    (``pc.index_in``), ONE hash shuffle on a coarse user bucket — NOT
+    per-user groups, so the fold is called O(buckets) times — then a
+    fully vectorized 3-pass grouped-min fold (np.unique inverse +
+    ``np.minimum.at``) over every user in the bucket at once.  Work is
+    O(rows · stages) with no per-user Python; bucket count scales with
+    the cluster, per-bucket state is O(users_in_bucket) int64s."""
+    STAGES = ["view", "click", "purchase"]
+    n_buckets = _join_parts()
+
+    def prep(b: pa.Table) -> pa.Table:
+        st = pc.index_in(b["event_type"], value_set=pa.array(STAGES))
+        keep = pc.is_valid(st)
+        uid = pc.filter(b["user_id"], keep).combine_chunks()
+        return pa.table(
+            {
+                "user_id": uid,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(uid, n_buckets - 1)
+                    if (n_buckets & (n_buckets - 1)) == 0
+                    else pa.array(uid.to_numpy() % n_buckets),
+                    pa.int32(),
+                ),
+                "ts_us": pc.filter(pc.cast(b["ts"], pa.int64()), keep),
+                "stage": pc.cast(pc.filter(st, keep), pa.int8()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g["user_id"].combine_chunks().to_numpy()
+        ts = g["ts_us"].combine_chunks().to_numpy()
+        st = g["stage"].combine_chunks().to_numpy()
+        uu, inv = np.unique(u, return_inverse=True)
+        inf = np.int64(2**62)
+        depth = np.zeros(len(uu), np.int64)
+        t_prev = np.full(len(uu), np.int64(-1))
+        for s in range(len(STAGES)):
+            m = st == s
+            cu, ct = inv[m], ts[m]
+            ok = ct > t_prev[cu]
+            cu, ct = cu[ok], ct[ok]
+            tmin = np.full(len(uu), inf)
+            np.minimum.at(tmin, cu, ct)
+            reached = (tmin < inf) & (depth == s)
+            depth = depth + reached
+            t_prev = np.where(reached, tmin, inf)
+        return pa.table(
+            {"user_id": pa.array(uu), "funnel_depth": pa.array(depth)}
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("bucket").map_groups(
+        fold, batch_format="pyarrow"
+    ).select_columns(["user_id", "funnel_depth"])
+
+
+def heavy_hitters(sf_dir: str) -> ray.data.Dataset:
+    """Exact frequent-items (φ = 1/(K+1) heavy hitters) over corpus
+    words via the two-pass candidate/recount scheme: pass 1 keeps each
+    block's LOCAL heavy words (count_b·(K+1) > n_b — the vectorized
+    equivalent of a Misra-Gries sketch per block: by averaging, any
+    globally φ-heavy word is locally φ-heavy in ≥1 block, so the union
+    is a superset and never misses), pass 2 exact-counts ONLY the
+    candidate set and keeps true heavy hitters (count·(K+1) > n).
+
+    Scale shape: two streaming corpus passes; the only data that moves
+    is O(K · blocks) candidate words (driver-collected, broadcast back
+    via the closure) and the candidate-count partials into a tiny
+    groupby — no token-level shuffle at any scale."""
+    K = 32
+    SENTINEL = "\x01total"  # cannot tokenize out of whitespace-split text
+
+    def local_heavy(b: pa.Table) -> pa.Table:
+        vals, _off = FT.flat_words(FT.word_lists(b["text"]))
+        words, counts = np.unique(vals.astype("U"), return_counts=True)
+        n_b = int(counts.sum())
+        m = counts * (K + 1) > n_b
+        return pa.table(
+            {
+                "word": pa.array(
+                    np.append(words[m].astype(object), [SENTINEL]), pa.string()
+                ),
+                "n_block": pa.array(
+                    np.append(np.zeros(int(m.sum()), np.int64), [n_b])
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["text"])
+    cand_tbl = pa.concat_tables(
+        docs.map_batches(
+            local_heavy, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    is_sent = pc.equal(cand_tbl["word"], pa.scalar(SENTINEL))
+    total_toks = int(pc.sum(pc.filter(cand_tbl["n_block"], is_sent)).as_py() or 0)
+    cand_arr = np.unique(
+        np.asarray(
+            cand_tbl.filter(pc.invert(is_sent))["word"].to_pylist(), dtype="U"
+        )
+    )
+
+    def recount(b: pa.Table) -> pa.Table:
+        vals, _off = FT.flat_words(FT.word_lists(b["text"]))
+        u = vals.astype("U")
+        keep = np.isin(u, cand_arr)
+        words, counts = np.unique(u[keep], return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(words.astype(object), pa.string()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b["cnt"], pa.int64())
+        keep = pc.greater(
+            pc.multiply(cnt, pa.scalar(K + 1, pa.int64())),
+            pa.scalar(total_toks, pa.int64()),
+        )
+        t = b.filter(keep)
+        return pa.table({"word": t["word"], "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
 
@@ -3065,6 +3210,8 @@ QUERIES = {
     "corpus_shuffle": corpus_shuffle,
     "full_outer_join": full_outer_join,
     "hopping_window": hopping_window,
+    "funnel_depth": funnel_depth,
+    "heavy_hitters": heavy_hitters,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
@@ -3637,6 +3784,44 @@ ORACLE_SQL = {
             FROM events, UNNEST(generate_series(0, 1)) AS t(i)
         )
         GROUP BY event_type, window_start
+    """,
+    # Ordered funnel: stage k's completion time is the min event time
+    # strictly after stage k-1's completion; depth = stages completed.
+    # The LEFT JOIN chain encodes the same sequential-min recurrence
+    # the Ray side computes as 3 vectorized grouped-min passes.
+    "funnel_depth": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ), s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_depth
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """,
+    # Exact phi-heavy hitters (phi = 1/33): the Ray side's two-pass
+    # local-candidates + exact-recount scheme returns EXACTLY this set.
+    "heavy_hitters": """
+        WITH t AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ), n AS (SELECT count(*) AS total FROM t),
+        c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word)
+        SELECT c.word, c.cnt FROM c, n WHERE c.cnt * 33 > n.total
     """,
     "full_outer_join": """
         WITH c AS (

@@ -296,3 +296,65 @@ def test_corpus_shuffle_rank_is_exact_permutation(ray_session):
     assert keys == sorted(keys)
     df2 = corpus_shuffle(SF).to_pandas().sort_values("shuffle_rank", ignore_index=True)
     assert df.equals(df2)
+
+
+def test_funnel_depth_ordered_semantics(ray_session, tmp_path):
+    """Hand-built edge cases: same-microsecond ties do NOT advance,
+    stages out of order do NOT count, min-time semantics per stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tartare_ray.pipelines.queries import funnel_depth
+
+    us = 1_000_000
+    rows = [
+        # user 1: click ties the view's timestamp -> strictly-after fails
+        (1, 10 * us, "view"), (1, 10 * us, "click"), (1, 20 * us, "purchase"),
+        # user 2: clean 3-stage funnel
+        (2, 10 * us, "view"), (2, 11 * us, "click"), (2, 12 * us, "purchase"),
+        # user 3: click BEFORE the first view -> only depth 1
+        (3, 10 * us, "click"), (3, 11 * us, "view"), (3, 12 * us, "purchase"),
+        # user 4: purchase only -> depth 0
+        (4, 10 * us, "purchase"),
+        # user 5: two views, min view counts; late click after 2nd view
+        (5, 10 * us, "view"), (5, 30 * us, "view"), (5, 20 * us, "click"),
+        # user 6: non-stage events only -> excluded from the universe
+        (6, 10 * us, "error"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = dict(
+        zip(
+            *(
+                funnel_depth(str(tmp_path)).to_pandas()
+                .sort_values("user_id")[["user_id", "funnel_depth"]]
+                .T.values.tolist()
+            )
+        )
+    )
+    # user 1: purchase at 20us follows... click never completed -> depth 1
+    assert got == {1: 1, 2: 3, 3: 1, 4: 0, 5: 2}
+
+
+def test_heavy_hitters_matches_exact_counts(ray_session):
+    """Two-pass candidate/recount output == exact pandas counts with
+    the same phi = 1/33 threshold (no false positives or negatives)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tartare_ray.pipelines.queries import heavy_hitters
+
+    got = heavy_hitters(SF).to_pandas().sort_values("word", ignore_index=True)
+    text = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"]
+    toks = [w for s in text.to_pylist() for w in s.strip().split()]
+    c = pd.Series(toks).value_counts()
+    want = c[c * 33 > len(toks)].rename_axis("word").reset_index(name="cnt")
+    want = want.sort_values("word", ignore_index=True)
+    assert got["word"].tolist() == want["word"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
