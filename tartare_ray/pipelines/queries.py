@@ -3161,6 +3161,151 @@ def heavy_hitters(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction — the curation-pipeline compliance pass: plant one
+    deterministic email + phone per document (the synthetic corpus has
+    none, and the augmentation is reproduced verbatim in the oracle so
+    the REDACTION KERNEL is what gets value-checked), scrub via RE2
+    regexes, and emit (doc_id, n_redacted, scrub_digest) where the
+    digest is the house polynomial fold of the scrubbed text's
+    word-polyhashes — any divergence in the replacement semantics
+    flips the digest.
+
+    Scale shape: pure per-doc map_batches — Arrow RE2 kernels
+    (``replace_substring_regex`` / ``count_substring_regex``), zero
+    shuffles, zero Python-per-row; pyarrow and DuckDB both run RE2, so
+    the oracle checks engine-for-engine regex parity."""
+    mod = 1000000007
+
+    def scrub(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks()
+        ph = pc.utf8_lpad(
+            pc.cast(
+                pa.array(ids.to_numpy() % 100, pa.int64()), pa.string()
+            ),
+            2,
+            "0",
+        )
+        aug = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                b["text"].combine_chunks(), " contact u", ""
+            ),
+            pc.cast(ids, pa.string()),
+            "@ex.org call 555-01",
+            ph,
+            "",
+        )
+        n_red = pc.add(
+            pc.count_substring_regex(aug, pattern=_PII_EMAIL),
+            pc.count_substring_regex(aug, pattern=_PII_PHONE),
+        )
+        scrubbed = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                aug, pattern=_PII_EMAIL, replacement="<EMAIL>"
+            ),
+            pattern=_PII_PHONE,
+            replacement="<PHONE>",
+        )
+        wh, off = FT.word_polyhash_lists(scrubbed)
+        counts = np.diff(off)
+        k = int(counts.max()) if len(counts) else 0
+        mat = np.zeros((len(counts), k), dtype=np.int64)
+        rank = np.arange(len(wh)) - np.repeat(off[:-1], counts)
+        mat[np.repeat(np.arange(len(counts)), counts), rank] = wh
+        dig = np.zeros(len(counts), dtype=np.int64)
+        for j in range(k):  # ≤ max words/doc masked passes, not per-doc
+            m = counts > j
+            dig[m] = (dig[m] * 31 + mat[m, j]) % mod
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_redacted": pc.cast(n_red, pa.int64()),
+                "scrub_digest": pa.array(dig),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def zscore_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type z-score outliers (|z| > 2) — the anomaly-detection
+    primitive.  Exactness design: values go to integer cents, the
+    grouped (n, Σx, Σx²) are exact int64, and BOTH the filter predicate
+    ((n·x−S)² > 4·(n·S2−S²), pure integer) and z itself
+    ((n·x−S)/√(n·S2−S²), two exact ints through IEEE ÷ and √) are
+    bit-reproducible against DuckDB — no epsilon at the cut boundary.
+
+    Scale shape: pass 1 block-local partial moments → a groupby of
+    O(event_types) rows; the tiny stats table broadcasts back in the
+    task closure; pass 2 streams the events once more and filters
+    vectorized.  Two streaming passes, no data-sized shuffle."""
+
+    def cents(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64())
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "c": x,
+                "c2": pc.multiply(x, x),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    stats = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("c", alias_name="s"),
+            Sum("c2", alias_name="s2"),
+            Sum("one", alias_name="n"),
+        )
+        .take_all()
+    )  # O(event_types) rows — driver-safe at any scale
+    st = {
+        r["event_type"]: (int(r["n"]), int(r["s"]), int(r["s2"])) for r in stats
+    }
+
+    def outliers(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        x = (
+            pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64())
+            .to_numpy()
+        )
+        keys = np.asarray(et.to_numpy(zero_copy_only=False), dtype=object)
+        n = np.empty(len(x), np.int64)
+        s = np.empty(len(x), np.int64)
+        s2 = np.empty(len(x), np.int64)
+        for k, (kn, ks, ks2) in st.items():  # O(event_types) masked fills
+            m = keys == k
+            n[m], s[m], s2[m] = kn, ks, ks2
+        num = n * x - s
+        var_n = n * s2 - s * s
+        keep = num * num > 4 * var_n
+        t = b.filter(pa.array(keep))
+        z = np.round(
+            num[keep].astype(np.float64) / np.sqrt(var_n[keep].astype(np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "z": pa.array(z),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        outliers, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3212,6 +3357,8 @@ QUERIES = {
     "hopping_window": hopping_window,
     "funnel_depth": funnel_depth,
     "heavy_hitters": heavy_hitters,
+    "pii_scrub": pii_scrub,
+    "zscore_outliers": zscore_outliers,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
@@ -3822,6 +3969,56 @@ ORACLE_SQL = {
         ), n AS (SELECT count(*) AS total FROM t),
         c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word)
         SELECT c.word, c.cnt FROM c, n WHERE c.cnt * 33 > n.total
+    """,
+    # PII redaction parity: both engines run RE2 on identically
+    # augmented text; the digest is the house polynomial fold (doc fold
+    # mod 1e9+7 over per-word polyhashes mod 50257) of the SCRUBBED
+    # text, so any replacement divergence flips the value hash.
+    "pii_scrub": """
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact u' || doc_id || '@ex.org call 555-01'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+            FROM documents
+        ), scr AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                                      '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS s,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS n_redacted
+            FROM aug
+        ), w AS (
+            SELECT doc_id, n_redacted,
+                   regexp_split_to_array(trim(s), '\\s+') AS ws
+            FROM scr
+        )
+        SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(ws, w ->
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                           (a, b) -> (a * 31 + b) % 50257))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS scrub_digest
+        FROM w
+    """,
+    # z and the |z|>2 cut are both derived from exact integer moments
+    # (cents), so the boundary is epsilon-free in both engines.
+    "zscore_outliers": """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS x
+            FROM events
+        ), s AS (
+            SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sx2
+            FROM c GROUP BY event_type
+        )
+        SELECT event_id, c.event_type,
+               round((n * x - sx) / sqrt(n * sx2 - sx * sx), 6) AS z
+        FROM c JOIN s USING (event_type)
+        WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sx2 - sx * sx)
     """,
     "full_outer_join": """
         WITH c AS (
