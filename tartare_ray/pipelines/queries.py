@@ -3365,7 +3365,6 @@ QUERIES = {
     "hash_join": hash_join,
     "latest_event_per_user": latest_event_per_user,
     "topk_per_group": topk_per_group,
-    "validity_period": validity_period,
     "sessionize": sessionize,
     "window_agg": window_agg,
     "asof_join": asof_join,
@@ -3373,14 +3372,15 @@ QUERIES = {
     "broadcast_join": broadcast_join,
     "anti_join": anti_join,
     "grouped_quantile": grouped_quantile,
-    "rolling_window": rolling_window,
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
     "curation_pipeline": curation_pipeline,
-    "corpus_filter": corpus_filter,
-    "exact_dedup": exact_dedup,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "validity_period": validity_period,
+    "rolling_window": rolling_window,
+    "corpus_filter": corpus_filter,
+    "exact_dedup": exact_dedup,
     "topk_sort": topk_sort,
     "distinct_dedup": distinct_dedup,
     "join_agg": join_agg,
