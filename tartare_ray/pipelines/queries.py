@@ -3306,6 +3306,87 @@ def zscore_outliers(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def textrank_words(sf_dir: str) -> ray.data.Dataset:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004, public):
+    weighted PageRank over the word co-occurrence graph (adjacent
+    distinct words, undirected, weight = adjacency count), 5 Jacobi
+    iterations, damping 0.85.
+
+    Exactness design: PR runs in FIXED-POINT micro-units — each edge
+    contribution is the integer floor (pr·850·w) // (1000·W(src)) — so
+    iteration sums are order-independent exact integers and the oracle
+    is bit-identical (no float-sum ordering hazard).  Bounds: products
+    stay < 2^63 while Σpr·max(w) < 1e15, true for any test scale;
+    a petabyte corpus would switch to float PR and a rows-only check.
+
+    Scale shape: the HEAVY part — token-level pair extraction and the
+    co-occurrence aggregation — is fully distributed (block-local
+    lexsort run-length pre-reduce, then one groupby-sum of canonical
+    pairs).  The REDUCED graph is O(distinct bigrams) ≪ corpus and the
+    5 dense iterations run in numpy on it; for graphs past one node's
+    memory the BSP actor path (stages/graph.py, SURVEY §8.7) is the
+    iteration substrate, as with connected components."""
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        words = FT.word_lists(b["text"])
+        vals, off = FT.flat_words(words)
+        u = vals.astype("U")
+        keep_first = np.ones(len(u), bool)
+        if len(u):
+            keep_first[off[1:] - 1] = False  # drop each doc's last word
+        first_idx = np.flatnonzero(keep_first)
+        x, y = u[first_idx], u[first_idx + 1]
+        m = x != y
+        x, y = x[m], y[m]
+        lt = x < y  # np.minimum lacks a unicode loop; comparison has one
+        a, c = np.where(lt, x, y), np.where(lt, y, x)
+        order = np.lexsort((c, a))
+        a, c = a[order], c[order]
+        new = np.ones(len(a), bool)
+        if len(a):
+            new[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                "w1": pa.array(a[starts].astype(object), pa.string()),
+                "w2": pa.array(c[starts].astype(object), pa.string()),
+                "w": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    und = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+    et = pa.concat_tables(und.iter_batches(batch_format="pyarrow"))
+    a = np.asarray(et["w1"].to_pylist(), dtype="U")
+    b_ = np.asarray(et["w2"].to_pylist(), dtype="U")
+    w = et["w"].to_numpy().astype(np.int64)
+    # expand to both directions
+    src = np.concatenate([a, b_])
+    dst = np.concatenate([b_, a])
+    ew = np.concatenate([w, w])
+    nodes, src_i = np.unique(src, return_inverse=True)
+    dst_i = np.searchsorted(nodes, dst)
+    wt = np.zeros(len(nodes), np.int64)
+    np.add.at(wt, src_i, ew)
+    pr = np.full(len(nodes), 1_000_000, np.int64)
+    for _ in range(5):
+        contrib = (pr[src_i] * 850 * ew) // (1000 * wt[src_i])
+        acc = np.zeros(len(nodes), np.int64)
+        np.add.at(acc, dst_i, contrib)
+        pr = 150_000 + acc
+    return pa.table(
+        {
+            "word": pa.array(nodes.astype(object), pa.string()),
+            "pagerank_micro": pa.array(pr),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -3359,6 +3440,7 @@ QUERIES = {
     "heavy_hitters": heavy_hitters,
     "pii_scrub": pii_scrub,
     "zscore_outliers": zscore_outliers,
+    "textrank_words": textrank_words,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
@@ -3370,7 +3452,6 @@ QUERIES = {
     "asof_join": asof_join,
     "range_join": range_join,
     "broadcast_join": broadcast_join,
-    "anti_join": anti_join,
     "grouped_quantile": grouped_quantile,
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
@@ -3379,6 +3460,7 @@ QUERIES = {
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "validity_period": validity_period,
     "rolling_window": rolling_window,
+    "anti_join": anti_join,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
     "topk_sort": topk_sort,
@@ -4019,6 +4101,56 @@ ORACLE_SQL = {
                round((n * x - sx) / sqrt(n * sx2 - sx * sx), 6) AS z
         FROM c JOIN s USING (event_type)
         WHERE (n * x - sx) * (n * x - sx) > 4 * (n * sx2 - sx * sx)
+    """,
+    # Weighted PageRank in fixed-point micro-units: per-edge integer
+    # floor division makes every iteration order-independent and exact,
+    # so 5 chained CTE iterations reproduce the Ray side bit-for-bit.
+    "textrank_words": """
+        WITH w AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), adj AS (
+            SELECT ws[i] AS x, ws[i + 1] AS y
+            FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE ws[i] <> ws[i + 1]
+        ), und AS (
+            SELECT least(x, y) AS a, greatest(x, y) AS b, count(*) AS w
+            FROM adj GROUP BY 1, 2
+        ), e AS (
+            SELECT a AS src, b AS dst, w FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM und
+        ), ws AS (
+            SELECT src, sum(w) AS wt FROM e GROUP BY src
+        ), p0 AS (
+            SELECT src AS word, CAST(1000000 AS BIGINT) AS pr FROM ws
+        ), p1 AS (
+            SELECT e.dst AS word,
+                   CAST(150000 + sum((p.pr * 850 * e.w) // (1000 * ws.wt)) AS BIGINT) AS pr
+            FROM e JOIN p0 p ON p.word = e.src JOIN ws ON ws.src = e.src
+            GROUP BY e.dst
+        ), p2 AS (
+            SELECT e.dst AS word,
+                   CAST(150000 + sum((p.pr * 850 * e.w) // (1000 * ws.wt)) AS BIGINT) AS pr
+            FROM e JOIN p1 p ON p.word = e.src JOIN ws ON ws.src = e.src
+            GROUP BY e.dst
+        ), p3 AS (
+            SELECT e.dst AS word,
+                   CAST(150000 + sum((p.pr * 850 * e.w) // (1000 * ws.wt)) AS BIGINT) AS pr
+            FROM e JOIN p2 p ON p.word = e.src JOIN ws ON ws.src = e.src
+            GROUP BY e.dst
+        ), p4 AS (
+            SELECT e.dst AS word,
+                   CAST(150000 + sum((p.pr * 850 * e.w) // (1000 * ws.wt)) AS BIGINT) AS pr
+            FROM e JOIN p3 p ON p.word = e.src JOIN ws ON ws.src = e.src
+            GROUP BY e.dst
+        ), p5 AS (
+            SELECT e.dst AS word,
+                   CAST(150000 + sum((p.pr * 850 * e.w) // (1000 * ws.wt)) AS BIGINT) AS pr
+            FROM e JOIN p4 p ON p.word = e.src JOIN ws ON ws.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT word, pr AS pagerank_micro FROM p5
     """,
     "full_outer_join": """
         WITH c AS (
