@@ -1772,6 +1772,233 @@ def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _doc_word_runs(b: pa.Table) -> tuple:
+    """Shared per-block word machinery for the quality/tf-idf family:
+    split once, hash once, lexsort once.  Returns (words ListArray,
+    flat word values object ndarray, flat word hashes, offsets,
+    per-doc lengths, run_starts, run counts, run→doc index, run→flat
+    index of the run's first word) where a "run" is one distinct word
+    within one document (hash equality ⇔ word equality w.h.p., the
+    house convention)."""
+    from ..functions.hashing import WORD_HASH_KEY, hash_strings
+
+    words = FT.word_lists(b["text"])
+    vals, off = FT.flat_words(words)
+    wh = hash_strings(vals, key=WORD_HASH_KEY)
+    lengths = np.diff(off)
+    didx = np.repeat(np.arange(len(b)), lengths)
+    order = np.lexsort((wh, didx))
+    h, d = wh[order], didx[order]
+    new = np.ones(len(h), bool)
+    if len(h):
+        new[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    run_starts = np.flatnonzero(new)
+    counts = np.diff(np.append(run_starts, len(h)))
+    run_doc = d[run_starts] if len(h) else np.array([], dtype=np.int64)
+    run_first = order[run_starts] if len(h) else np.array([], dtype=np.int64)
+    return words, vals, wh, off, lengths, run_starts, counts, run_doc, run_first
+
+
+def gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style quality-rule gate (Rae et al. 2021's repetition /
+    length heuristics, thresholds adapted to this corpus' signal
+    ranges): per-doc word-count bounds, mean-word-length band,
+    distinct-word ratio, and top-word dominance, folded into a keep
+    flag.  Pure per-block vectorized map — ONE pass over the text, no
+    shuffle at ANY scale (the canonical pre-dedup curation gate).
+    Every ratio is an exact int/int double (denominators ≤ a doc's
+    word count), so the rule comparisons and the 6 dp rounding are
+    bit-identical to the SQL oracle's — no round-half ties exist
+    because no p/q with q < 128 terminates at exactly 7 decimals."""
+
+    def score(b: pa.Table) -> pa.Table:
+        words, vals, wh, off, lengths, run_starts, counts, run_doc, _ = _doc_word_runs(b)
+        docs = len(b)
+        # per-word character lengths from the parent buffer (absolute
+        # offsets window → same slice flat_words took)
+        off_abs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(off_abs[0]), int(off_abs[-1])
+        wlen = pc.utf8_length(words.values).to_numpy(zero_copy_only=False)[lo:hi]
+        ne = lengths > 0
+        swl = np.zeros(docs, np.int64)
+        if ne.any():
+            swl[ne] = np.add.reduceat(wlen, off[:-1][ne])
+        nd = np.bincount(run_doc, minlength=docs).astype(np.int64)
+        mx = np.zeros(docs, np.int64)
+        if len(run_doc):
+            np.maximum.at(mx, run_doc, counts)
+        nf = lengths.astype(np.float64)
+        mean_wlen = np.divide(swl, nf, out=np.zeros(docs), where=ne)
+        dr = np.divide(nd, nf, out=np.zeros(docs), where=ne)
+        tf = np.divide(mx, nf, out=np.zeros(docs), where=ne)
+        keep = (
+            (lengths >= 20)
+            & (lengths <= 90)
+            & (mean_wlen >= 4.0)
+            & (mean_wlen <= 5.0)
+            & (dr >= 0.4)
+            & (tf <= 0.12)
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pa.array(lengths.astype(np.int64)),
+                "mean_wlen": pa.array(np.round(mean_wlen, 6)),
+                "distinct_ratio": pa.array(np.round(dr, 6)),
+                "top_word_frac": pa.array(np.round(tf, 6)),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tf_idf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-doc top-k TF-IDF terms — the classic keyword/feature
+    extraction step.  Scale shape: tf is BLOCK-LOCAL (each row is a
+    whole doc → one lexsort-runs pass emits (doc, word, tf, n_words)
+    rows); df is ONE Count groupby over those already-distinct rows;
+    a hash join attaches df back; top-k is partial-per-block then a
+    per-doc final, so no group ever materializes more than
+    k × n_blocks rows.  Only (word, ints) rows shuffle — the text
+    never leaves stage 1.  Ties rank by (rounded tfidf DESC, word
+    ASC) in BOTH engines, so ordering parity is exact."""
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        _, vals, _, _, lengths, _, counts, run_doc, run_first = _doc_word_runs(b)
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(run_doc)),
+                "word": pa.array(vals[run_first].astype(object), pa.string()),
+                "tf": pa.array(counts.astype(np.int64)),
+                "nw": pa.array(lengths[run_doc].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # consumed twice: df count + join spine
+    )
+    df = _pairs_norm(rows.groupby("word").aggregate(Count(alias_name="df")))
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    j = rows.join(df, join_type="inner", num_partitions=_size_parts(rows), on=("word",))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nwv = b["nw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv / nwv * np.log(n_docs / dfv), 6)
+        t = pa.table({"doc_id": b["doc_id"], "word": b["word"], "tfidf": pa.array(tfidf)})
+        # partial top-k per doc inside this block (blocks are
+        # word-partitioned after the join, so a doc's rows are spread —
+        # partial-k per block still upper-bounds the final group size)
+        t = t.sort_by(
+            [("doc_id", "ascending"), ("tfidf", "descending"), ("word", "ascending")]
+        )
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(d)
+        if n == 0:
+            return t
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = d[1:] != d[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        return t.filter(pa.array(np.arange(n) - run_start < k))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("tfidf", "descending"), ("word", "ascending")]).slice(0, k)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64))
+        )
+
+    pre = j.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("doc_id").map_groups(final, batch_format="pyarrow").select_columns(
+        ["doc_id", "word", "tfidf", "rank"]
+    )
+
+
+def source_kl(sf_dir: str) -> ray.data.Dataset:
+    """Per-source KL divergence of the source's unigram distribution
+    from the corpus distribution — the domain-shift / source-mixing
+    diagnostic of training-data curation (which sources look unlike
+    the blend).  Scale shape: block-local (source, word-hash)
+    pre-reduce (the combiner) → ONE exact grouped sum → corpus counts
+    by a second small groupby → hash join on the int64 word hash →
+    per-source Sum fold.  Only fixed-width ints shuffle; per-source
+    totals are O(sources) driver rows, broadcast into the scoring
+    closure."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        wh, off = FT.word_hash_lists(b["text"])
+        lengths = np.diff(off)
+        sidx = np.repeat(np.arange(len(b)), lengths)
+        order = np.lexsort((wh, sidx))
+        h, s = wh[order], sidx[order]
+        new = np.ones(len(h), bool)
+        if len(h):
+            new[1:] = (h[1:] != h[:-1]) | (s[1:] != s[:-1])
+        run_starts = np.flatnonzero(new)
+        counts = np.diff(np.append(run_starts, len(h)))
+        run_src = s[run_starts] if len(h) else np.array([], dtype=np.int64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table(
+            {
+                "source": src.take(pa.array(run_src)),
+                "wh": pa.array(h[run_starts].view(np.int64) if len(h) else np.zeros(0, np.int64)),
+                "c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    pre = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "wh"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # consumed three times: corpus counts, totals, spine
+    )
+    pre = _pairs_norm(pre)
+    cw = _pairs_norm(pre.groupby("wh").aggregate(Sum("c", alias_name="cw")))
+    totals = pre.groupby("source").aggregate(Sum("c", alias_name="t")).take_all()
+    t_by_src = {r["source"]: float(r["t"]) for r in totals}  # O(sources) rows
+    grand = float(sum(t_by_src.values()))
+    j = pre.join(cw, join_type="inner", num_partitions=_size_parts(pre), on=("wh",))
+
+    def term(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        t = np.array([t_by_src[s] for s in src.tolist()], dtype=np.float64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cwv = b["cw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = c / t
+        x = p * np.log2(p / (cwv / grand))
+        return pa.table({"source": b["source"], "x": pa.array(x)})
+
+    agg = (
+        j.map_batches(term, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("x", alias_name="sx"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "kl_bits": pa.array(
+                    np.round(b["sx"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data.Dataset:
     """Transitive dedup CLUSTERS: connected components over the
     shared-word-8-gram graph, labeled by the component's min doc_id
@@ -2516,6 +2743,82 @@ def cdc_time_travel(sf_dir: str) -> ray.data.Dataset:
     return eng.snapshot_dataset(epoch=epoch).map_batches(
         token_sum_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def cdc_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Delta-direct snapshot diff: classify every key whose state
+    differs between the initial-ingest epoch and the head (added /
+    changed / removed) from the CHANGE FEED alone — O(touched keys),
+    never rescanning the unchanged corpus (the CDC-native answer to
+    "what changed since epoch E?").  Scale shape: ``changes_between``
+    serves the intersecting epochs' feeds straight from their delta
+    files; a latest-per-key fold collapses multi-epoch touches to the
+    final op; ONE left join against the base epoch's pruned key column
+    classifies membership.  Value-checked against a declarative oracle
+    of the flagship waves (updates → changed, tombstones → removed);
+    the added class (insert after the base epoch) is exercised by the
+    synthetic-feed pytest (test_snapshot_diff.py)."""
+    import pyarrow.parquet as _pq
+
+    eng = run_flagship(sf_dir)
+    meta = _pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
+    base = (
+        max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        + 1
+    )
+    e0 = eng.epoch_for_lsn(base - 1)  # wave-0 (initial ingest) epoch
+    return snapshot_diff(eng, e0)
+
+
+def snapshot_diff(eng, base_epoch: int) -> ray.data.Dataset:
+    """Classify keys whose state differs between ``base_epoch`` and the
+    head: (doc_id, change ∈ {added, changed, removed}, n_tok_after) —
+    derived from the change feed's delta files plus ONE membership
+    join against the base epoch's pruned key column (see
+    ``cdc_snapshot_diff`` for the scale argument)."""
+    from ..state.manifest import load_epoch as _load_epoch
+
+    w_head = eng.history()[0]["watermark_lsn"]  # newest first
+    w0 = _load_epoch(eng.table_root, base_epoch).watermark_lsn
+    feed = eng.changes_between(w0, w_head).select_columns(
+        ["doc_id", "op", "lsn", "n_tok"]
+    )
+    winners = feed.groupby("doc_id").map_groups(
+        lambda g: argmax_per_key(g, "doc_id", ["lsn"]), batch_format="pyarrow"
+    )
+    base_ids = eng.snapshot_dataset(epoch=base_epoch, columns=["doc_id"]).map_batches(
+        lambda b: b.append_column("in_base", pa.array(np.ones(len(b), np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = winners.join(
+        base_ids,
+        join_type="left_outer",
+        num_partitions=_size_parts(winners, base_ids),
+        on=("doc_id",),
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        is_del = pc.equal(b["op"], "D").to_numpy(zero_copy_only=False)
+        exists = pc.is_valid(b["in_base"]).to_numpy(zero_copy_only=False)
+        change = np.where(
+            is_del, "removed", np.where(exists, "changed", "added")
+        ).astype(object)
+        keep = ~(is_del & ~exists)  # insert+delete inside the range: no-op
+        n_tok = pc.if_else(
+            pa.array(is_del), pa.scalar(None, pa.int64()), pc.cast(b["n_tok"], pa.int64())
+        )
+        out = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "change": pa.array(change, pa.string()),
+                "n_tok_after": n_tok,
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def token_rarity(sf_dir: str, rare_max: int = 2) -> ray.data.Dataset:
@@ -3441,16 +3744,18 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "zscore_outliers": zscore_outliers,
     "textrank_words": textrank_words,
+    # — late round-3 additions (never driver-checked → inside the window,
+    #   displacing four r1+r2-green relational variants)
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "gopher_quality": gopher_quality,
+    "tf_idf_top_terms": tf_idf_top_terms,
+    "source_kl": source_kl,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "latest_event_per_user": latest_event_per_user,
-    "topk_per_group": topk_per_group,
-    "sessionize": sessionize,
-    "window_agg": window_agg,
     "asof_join": asof_join,
-    "range_join": range_join,
     "broadcast_join": broadcast_join,
     "grouped_quantile": grouped_quantile,
     "word_entropy": word_entropy,
@@ -3458,6 +3763,10 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "topk_per_group": topk_per_group,
+    "sessionize": sessionize,
+    "window_agg": window_agg,
+    "range_join": range_join,
     "validity_period": validity_period,
     "rolling_window": rolling_window,
     "anti_join": anti_join,
@@ -4247,6 +4556,92 @@ ORACLE_SQL = {
         SELECT doc_id, count(*) AS n_bigrams,
                round(sum(xl) / count(*), 6) AS cross_entropy
         FROM j GROUP BY doc_id
+    """,
+    "gopher_quality": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(ws) AS word, len(ws) AS nw FROM w
+        ), c AS (
+            SELECT doc_id, word, count(*) AS tf, any_value(nw) AS nw
+            FROM t GROUP BY doc_id, word
+        ), a AS (
+            SELECT doc_id, any_value(nw) AS n_words, count(*) AS nd,
+                   max(tf) AS mx, sum(len(word) * tf) AS swl
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               round(swl / CAST(n_words AS DOUBLE), 6) AS mean_wlen,
+               round(nd / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+               round(mx / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+               CAST(n_words BETWEEN 20 AND 90
+                    AND swl / CAST(n_words AS DOUBLE) BETWEEN 4.0 AND 5.0
+                    AND nd / CAST(n_words AS DOUBLE) >= 0.4
+                    AND mx / CAST(n_words AS DOUBLE) <= 0.12 AS BIGINT) AS keep
+        FROM a
+    """,
+    "tf_idf_top_terms": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(ws) AS word, len(ws) AS nw FROM w
+        ), c AS (
+            SELECT doc_id, word, count(*) AS tf, any_value(nw) AS nw
+            FROM t GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, count(*) AS df FROM c GROUP BY word
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), s AS (
+            SELECT doc_id, word,
+                   round(tf / CAST(nw AS DOUBLE)
+                         * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+            FROM c JOIN df USING (word) CROSS JOIN n
+        ), r AS (
+            SELECT doc_id, word, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, word ASC) AS rank
+            FROM s
+        )
+        SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 3
+    """,
+    "source_kl": """
+        WITH t AS (
+            SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ), c AS (
+            SELECT source, word, count(*) AS c FROM t GROUP BY source, word
+        ), ts AS (
+            SELECT source, sum(c) AS t FROM c GROUP BY source
+        ), cw AS (
+            SELECT word, sum(c) AS cw FROM c GROUP BY word
+        ), tot AS (
+            SELECT sum(c) AS tt FROM c
+        )
+        SELECT source,
+               round(sum((c / CAST(t AS DOUBLE))
+                         * log2((c / CAST(t AS DOUBLE))
+                                / (cw / CAST(tt AS DOUBLE)))), 6) AS kl_bits
+        FROM c JOIN ts USING (source) JOIN cw USING (word) CROSS JOIN tot
+        GROUP BY source
+    """,
+    # The diff between the initial-ingest epoch and the head is a pure
+    # function of the flagship waves: wave-1 updates (doc_id%5<2) are
+    # 'changed' with the sentinel-extended token count; wave-2
+    # tombstones (doc_id%10=7) are 'removed'.  The engine derives the
+    # same rows from the change feed's delta files + one membership
+    # join — never rescanning the corpus.
+    "cdc_snapshot_diff": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN doc_id % 10 = 7 THEN 'removed' ELSE 'changed' END AS change,
+               CASE WHEN doc_id % 10 = 7 THEN NULL
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) + 1
+                              AS BIGINT)
+               END AS n_tok_after
+        FROM documents
+        WHERE doc_id % 10 = 7 OR doc_id % 5 < 2
     """,
     "dedup_clusters": """
         -- transitive closure of the shared-word-8-gram graph via a
