@@ -70,8 +70,12 @@ BENCH_QUERIES = [
     "cdc_pack_sequences",
     "cdc_time_travel",
     "cdc_dedup_index",
+    "cdc_snapshot_diff",
     "dedup_clusters",
     "curation_pipeline",
+    "gopher_quality",
+    "tf_idf_top_terms",
+    "source_kl",
 ]
 
 
