@@ -2821,6 +2821,65 @@ def snapshot_diff(eng, base_epoch: int) -> ray.data.Dataset:
     return j.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _backfill_quality(live: pa.Table) -> pa.Array:
+    """Deterministic backfill value for the evolution-added ``quality``
+    column: (n_tok % 97) / 100 — exact two-decimal doubles, so stored
+    and backfilled values are both bit-reproducible in SQL."""
+    n = live["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array((n % 97) / 100.0, pa.float64())
+
+
+def cdc_backfill(sf_dir: str) -> ray.data.Dataset:
+    """Backfill an evolution-added column across historical rows
+    (``CdcEngine.backfill``): only partitions whose chains actually
+    hold nulls rewrite (decided from Parquet footer null-count stats —
+    metadata-only pruning), committed as a new epoch at the same
+    watermark.  Runs against a HARDLINKED copy of the committed table
+    (data files are immutable and epoch-named, so the copy is O(files)
+    metadata, no bytes move) — the shared flagship workdir keeps its
+    pre-backfill state for the other CDC oracles.  Value-checked:
+    wave-1 rows keep their STORED quality bit-for-bit, all other live
+    rows get the backfill function's value."""
+    from .cdc import CdcEngine
+    from .flagship import flagship_workdir
+
+    eng = run_flagship(sf_dir)
+    head = eng.history()[0]["epoch"]
+    root2 = os.path.join(flagship_workdir(sf_dir), f"table_backfill_e{head}")
+    marker = root2 + ".copied"
+    if not os.path.exists(marker):
+        import shutil
+
+        tmp = root2 + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+        for dirpath, _dirnames, filenames in os.walk(eng.table_root):
+            rel = os.path.relpath(dirpath, eng.table_root)
+            os.makedirs(os.path.join(tmp, rel), exist_ok=True)
+            for f in filenames:
+                if f == "LOCK":
+                    continue  # advisory lock: each root owns its own
+                os.link(os.path.join(dirpath, f), os.path.join(tmp, rel, f))
+        os.rename(tmp, root2)
+        with open(marker, "w") as fh:
+            fh.write(str(head))
+    eng2 = CdcEngine(eng.log_dir, root2, eng.cfg)
+    eng2.backfill("quality", _backfill_quality)  # idempotent: None when clean
+
+    def summarize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+                "quality": b["quality"],
+            }
+        )
+
+    return eng2.snapshot_dataset(columns=["doc_id", "n_tok", "quality"]).map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def token_rarity(sf_dir: str, rare_max: int = 2) -> ray.data.Dataset:
     """Corpus-statistics-driven quality scoring: per document, how many
     of its word occurrences are RARE (global corpus frequency ≤
@@ -3747,6 +3806,7 @@ QUERIES = {
     # — late round-3 additions (never driver-checked → inside the window,
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_backfill": cdc_backfill,
     "gopher_quality": gopher_quality,
     "tf_idf_top_terms": tf_idf_top_terms,
     "source_kl": source_kl,
@@ -3754,7 +3814,6 @@ QUERIES = {
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
-    "latest_event_per_user": latest_event_per_user,
     "asof_join": asof_join,
     "broadcast_join": broadcast_join,
     "grouped_quantile": grouped_quantile,
@@ -3763,6 +3822,7 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
+    "latest_event_per_user": latest_event_per_user,
     "topk_per_group": topk_per_group,
     "sessionize": sessionize,
     "window_agg": window_agg,
@@ -4633,6 +4693,23 @@ ORACLE_SQL = {
     # tombstones (doc_id%10=7) are 'removed'.  The engine derives the
     # same rows from the change feed's delta files + one membership
     # join — never rescanning the corpus.
+    # After the backfill, wave-1 rows (doc_id%5<2) keep their STORED
+    # quality = (doc_id%100)/100.0 bit-for-bit; every other live row
+    # gets the backfill fn's (n_tok % 97)/100.0 where n_tok is the
+    # un-updated word count.  Same exact-two-decimal-double argument
+    # as the flagship oracle.
+    "cdc_backfill": """
+        WITH w AS (
+            SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE WHEN doc_id % 5 < 2 THEN nw + 1 ELSE nw END
+                    AS BIGINT) AS n_tok,
+               CASE WHEN doc_id % 5 < 2 THEN (doc_id % 100) / 100.0
+                    ELSE (nw % 97) / 100.0 END AS quality
+        FROM w WHERE doc_id % 10 <> 7
+    """,
     "cdc_snapshot_diff": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                CASE WHEN doc_id % 10 = 7 THEN 'removed' ELSE 'changed' END AS change,
