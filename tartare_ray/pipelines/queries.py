@@ -1999,6 +1999,94 @@ def source_kl(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def percent_rank_score(sf_dir: str) -> ray.data.Dataset:
+    """Global PERCENT_RANK over a per-doc score (n_chars) WITHOUT a
+    global sort: ONE Count groupby collapses the corpus to O(distinct
+    score values) rows (bounded by the value DOMAIN — max doc length —
+    not corpus size), the driver prefix-sums that tiny table, and a
+    vectorized searchsorted lookup broadcasts ranks back in a second
+    streaming pass.  The quantile-normalization step of quality-score
+    calibration.  pr = (rank−1)/(N−1) is an exact int/int double in
+    both engines — left UNROUNDED deliberately (identical ints through
+    one IEEE division ⇒ identical bits; rounding could only introduce
+    round-half divergence)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cnt = ds.groupby("n_chars").aggregate(Count(alias_name="c")).take_all()
+    cnt.sort(key=lambda r: r["n_chars"])  # O(distinct values) driver rows
+    vals = np.array([r["n_chars"] for r in cnt], dtype=np.int64)
+    cs = np.array([r["c"] for r in cnt], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(cs)[:-1]])  # rows strictly smaller
+    total = int(cs.sum())
+    denom = float(total - 1) if total > 1 else 1.0
+
+    def pr(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(vals, v)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "pr": pa.array(below[idx] / denom),
+            }
+        )
+
+    return ds.map_batches(pr, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_coverage(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Vocabulary coverage curve: what fraction of corpus TOKENS the
+    top-k most frequent words cover (the Zipf-head diagnostic that
+    sizes a tokenizer vocabulary).  Scale shape: per-block (word-hash,
+    count) combiner → ONE exact grouped sum to O(vocab) rows — tiny
+    relative to the corpus by Zipf — then the coverage curve is a sort
+    + cumsum of that SMALL table (driver-side, O(vocab) bounded;
+    deterministic (count DESC, word ASC) tie-break).  Coverage goes
+    out in exact integer parts-per-million (house small-rational
+    convention — no float rounding at all)."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        words = FT.word_lists(b["text"])
+        vals, _ = FT.flat_words(words)
+        uw, cnts = np.unique(vals.astype("U"), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uw.astype(object), pa.string()),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="n"))
+        .materialize()  # O(vocab) rows, consumed twice (top-k + total)
+    )
+    top = agg.sort(["n", "word"], descending=[True, False]).limit(k).take_all()
+    total = int(
+        sum(
+            r["n"]
+            for r in agg.map_batches(
+                lambda b: pa.table({"n": pa.array([pc.sum(b["n"]).as_py() or 0])}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()
+        )
+    )
+    n = np.array([r["n"] for r in top], dtype=np.int64)
+    cum = np.cumsum(n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "word": pa.array([r["word"] for r in top], pa.string()),
+                "n": pa.array(n),
+                "cum_ppm": pa.array(cum * 1_000_000 // total),
+            }
+        )
+    )
+
+
 def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data.Dataset:
     """Transitive dedup CLUSTERS: connected components over the
     shared-word-8-gram graph, labeled by the component's min doc_id
@@ -3810,12 +3898,12 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "tf_idf_top_terms": tf_idf_top_terms,
     "source_kl": source_kl,
+    "percent_rank_score": percent_rank_score,
+    "vocab_coverage": vocab_coverage,
     # — core relational / text / dedup operator set
     "filter_project": filter_project,
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
-    "asof_join": asof_join,
-    "broadcast_join": broadcast_join,
     "grouped_quantile": grouped_quantile,
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
@@ -3827,6 +3915,8 @@ QUERIES = {
     "sessionize": sessionize,
     "window_agg": window_agg,
     "range_join": range_join,
+    "asof_join": asof_join,
+    "broadcast_join": broadcast_join,
     "validity_period": validity_period,
     "rolling_window": rolling_window,
     "anti_join": anti_join,
@@ -4693,6 +4783,34 @@ ORACLE_SQL = {
     # tombstones (doc_id%10=7) are 'removed'.  The engine derives the
     # same rows from the change feed's delta files + one membership
     # join — never rescanning the corpus.
+    "percent_rank_score": """
+        SELECT doc_id, n_chars,
+               percent_rank() OVER (ORDER BY n_chars) AS pr
+        FROM documents
+    """,
+    # row_number/sum windows ordered by the UNIQUE (n DESC, word ASC)
+    # key, so the running sum is per-row; coverage goes out in exact
+    # integer ppm (cum·10^6 stays under 2^63 below ~9e12 corpus
+    # tokens; past that the engine side would switch to float ppm and
+    # a rows-only check)
+    "vocab_coverage": """
+        WITH t AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ), c AS (
+            SELECT word, count(*) AS n FROM t GROUP BY word
+        ), tot AS (
+            SELECT sum(n) AS total FROM c
+        ), r AS (
+            SELECT word, n,
+                   row_number() OVER (ORDER BY n DESC, word ASC) AS rank,
+                   sum(n) OVER (ORDER BY n DESC, word ASC) AS cum
+            FROM c
+        )
+        SELECT rank, word, CAST(n AS BIGINT) AS n,
+               CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm
+        FROM r CROSS JOIN tot WHERE rank <= 20
+    """,
     # After the backfill, wave-1 rows (doc_id%5<2) keep their STORED
     # quality = (doc_id%100)/100.0 bit-for-bit; every other live row
     # gets the backfill fn's (n_tok % 97)/100.0 where n_tok is the
