@@ -71,11 +71,14 @@ BENCH_QUERIES = [
     "cdc_time_travel",
     "cdc_dedup_index",
     "cdc_snapshot_diff",
+    "cdc_backfill",
     "dedup_clusters",
     "curation_pipeline",
     "gopher_quality",
     "tf_idf_top_terms",
     "source_kl",
+    "percent_rank_score",
+    "vocab_coverage",
 ]
 
 
