@@ -2810,6 +2810,54 @@ def temperature_sample(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def train_val_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic content-addressed train/val/test assignment:
+    ``poly_hash(doc_id) % 100`` → <90 train, <95 val, else test — the
+    standard hash-split that stays stable under re-ingest, reshuffles
+    and incremental appends (no RNG state to checkpoint; a doc's split
+    never flips when the corpus around it changes).  Returns the
+    per-(source, split) census (doc count + char volume) that a
+    mixture-budgeting step consumes.  Scale shape: ONE streaming pass;
+    the per-block combiner collapses each block to O(sources × 3)
+    partial rows before the groupby, so the exchange never carries doc
+    rows.  Full DuckDB value oracle via the SQL-parity hash."""
+    from ..functions.text import poly_hash_words
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string()).combine_chunks()
+        h = poly_hash_words(
+            np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
+        )
+        bucket = h % 100
+        split = np.where(bucket < 90, "train", np.where(bucket < 95, "val", "test"))
+        t = pa.table(
+            {
+                "source": b["source"],
+                "split": pa.array(split, pa.string()),
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "split"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "split": g["split"],
+                "docs": pc.cast(g["n_chars_count"], pa.int64()),
+                "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            }
+        )
+
+    pre = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        pre.groupby(["source", "split"])
+        .aggregate(Sum(on="docs", alias_name="n_docs"), Sum(on="chars", alias_name="n_chars"))
+    )
+
+
 def cdc_time_travel(sf_dir: str) -> ray.data.Dataset:
     """AS-OF-LSN time travel: the flagship table read at the last LSN
     BEFORE the delete wave (``epoch_for_lsn`` resolves it to the
@@ -3871,6 +3919,7 @@ QUERIES = {
     "token_rarity": token_rarity,
     "stratified_sample": stratified_sample,
     "temperature_sample": temperature_sample,
+    "train_val_split": train_val_split,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
     "cdc_dedup_index": cdc_dedup_index,
@@ -3900,14 +3949,20 @@ QUERIES = {
     "source_kl": source_kl,
     "percent_rank_score": percent_rank_score,
     "vocab_coverage": vocab_coverage,
-    # — core relational / text / dedup operator set
-    "filter_project": filter_project,
-    "grouped_agg": grouped_agg,
-    "hash_join": hash_join,
-    "grouped_quantile": grouped_quantile,
+    # — remaining never-driver-checked entries (rows-only sketch/dedup
+    #   ops) pulled inside the window; the displaced relational
+    #   variants below (filter_project, grouped_quantile, grouped_agg,
+    #   hash_join) were all green r1 AND r2
+    "quantile_sketch": quantile_sketch,
+    "minhash_cluster_dedup": minhash_cluster_dedup,
     "word_entropy": word_entropy,
     "bigram_logprob": bigram_logprob,
     "curation_pipeline": curation_pipeline,
+    # — core relational / text / dedup operator set
+    "filter_project": filter_project,
+    "grouped_quantile": grouped_quantile,
+    "grouped_agg": grouped_agg,
+    "hash_join": hash_join,
     # — past the driver window: entries already green under the driver in
     #   r1+r2 (relational variants) or rows-only with exact pytest oracles
     "latest_event_per_user": latest_event_per_user,
@@ -3935,11 +3990,9 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
-    "quantile_sketch": quantile_sketch,
     "approx_count_distinct": approx_count_distinct,
     "doc_repetition": doc_repetition,
     "minhash_lsh_dedup": minhash_lsh_dedup,
-    "minhash_cluster_dedup": minhash_cluster_dedup,
     "simhash_dedup": simhash_dedup,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -4904,6 +4957,25 @@ ORACLE_SQL = {
                 FROM documents
             )
         ) WHERE rnk <= CAST(ceil(sqrt(n_src)) AS BIGINT)
+    """,
+    "train_val_split": """
+        SELECT source,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM (
+            SELECT source, n_chars,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               string_split(CAST(doc_id AS VARCHAR), ''),
+                               c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 50257) AS h
+            FROM documents
+        )
+        GROUP BY 1, 2
     """,
     "stratified_sample": """
         SELECT lang, doc_id, h FROM (
