@@ -159,6 +159,26 @@ def run_cdc(num_cpus: int, exchange: str = "hash") -> dict:
     }
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:9]]
+
+
+def _ambient(before: list[int], after: list[int]) -> dict:
+    """Host-health fractions over an interval (user/sys/steal of total
+    jiffies).  A steal fraction ≳0.1 or sys ≳0.3 during the replay
+    means the shared host is degrading object-store exchange walls —
+    see BASELINE.md 'Ambient-contention advisory' for the calibrated
+    fast/slow readings of the identical workload."""
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d) or 1
+    return {
+        "cpu_user_frac": round((d[0] + d[1]) / total, 3),
+        "cpu_sys_frac": round(d[2] / total, 3),
+        "cpu_steal_frac": round(d[7] / total, 3),
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from tartare_ray.pipelines.queries import QUERIES
 
@@ -181,7 +201,9 @@ def child_scaling(num_cpus: int, exchange: str) -> dict:
         address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR"
     )
     _quiet()
+    stat0 = _cpu_stat()
     out = run_cdc(num_cpus, exchange=exchange)
+    out["ambient"] = _ambient(stat0, _cpu_stat())
     ray.shutdown()
     return out
 
@@ -294,7 +316,9 @@ def main():
     )
     _quiet()
     t0 = time.perf_counter()
+    stat0 = _cpu_stat()
     cdc = run_cdc(NUM_CPUS)
+    cdc["ambient"] = _ambient(stat0, _cpu_stat())
     queries = run_queries(SF_DIR)
     total = time.perf_counter() - t0
     ray.shutdown()
