@@ -166,10 +166,12 @@ def _cpu_stat() -> list[int]:
 
 def _ambient(before: list[int], after: list[int]) -> dict:
     """Host-health fractions over an interval (user/sys/steal of total
-    jiffies).  A steal fraction ≳0.1 or sys ≳0.3 during the replay
-    means the shared host is degrading object-store exchange walls —
-    see BASELINE.md 'Ambient-contention advisory' for the calibrated
-    fast/slow readings of the identical workload."""
+    jiffies).  STEAL is the discriminator: measured same-code
+    calibration on the 24M replay is ~0% steal → 1.4-1.9M ev/s,
+    7% → 0.60M, 22% → 0.30M.  sys sits at 40-50% in ALL of them (the
+    shm object-store exchange lives in the kernel) — high sys alone is
+    normal; high steal means the shared host is taking the cycles.
+    See BASELINE.md 'Ambient-contention advisory'."""
     d = [a - b for a, b in zip(after, before)]
     total = sum(d) or 1
     return {
