@@ -4,11 +4,12 @@ A downstream consumer (replica table, search indexer, feature store)
 processes ``changes_dataset(e)`` for each committed epoch in order and
 acknowledges each epoch after durably applying it.  The cursor — the
 highest acked epoch — is persisted per consumer id under
-``table_root/_consumers/<id>.json`` (atomic tmp+rename like every
-other state file), so a crashed consumer resumes exactly at its first
-unacked epoch: at-least-once delivery of an idempotent feed (the feed
-is latest-per-key winners + tombstones, so re-applying an epoch is
-harmless), which composes to exactly-once end-to-end.
+``table_root/_consumers/<id>.json`` through the pluggable state
+backend (``state.storage.storage_for``: POSIX tmp+rename by default,
+object store via FsspecStorage), so a crashed consumer resumes exactly
+at its first unacked epoch: at-least-once delivery of an idempotent
+feed (the feed is latest-per-key winners + tombstones, so re-applying
+an epoch is harmless), which composes to exactly-once end-to-end.
 
 Registered consumers also pin GC (``gc_epochs``): epochs a consumer
 has not yet acked — and the acked epoch itself, whose manifest is the
@@ -25,25 +26,20 @@ publication state reduced to an epoch offset.
 from __future__ import annotations
 
 import json
-import os
 
 _SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.")
 
 
-def _cdir(table_root: str) -> str:
-    return os.path.join(table_root, "_consumers")
-
-
-def _cpath(table_root: str, consumer_id: str) -> str:
+def _ckey(consumer_id: str) -> str:
     if not consumer_id or set(consumer_id) - _SAFE:
         raise ValueError(f"consumer id must be [A-Za-z0-9-_.]+, got {consumer_id!r}")
-    return os.path.join(_cdir(table_root), f"{consumer_id}.json")
+    return f"_consumers/{consumer_id}.json"
 
 
-def _atomic_write(path: str, payload: str) -> None:
-    from .manifest import _atomic_write as aw
+def _st(table_root: str):
+    from .storage import storage_for
 
-    aw(path, payload)
+    return storage_for(table_root)
 
 
 def subscribe(table_root: str, consumer_id: str, from_epoch: int = 0) -> dict:
@@ -58,24 +54,23 @@ def subscribe(table_root: str, consumer_id: str, from_epoch: int = 0) -> dict:
     an aged table starts at the retained history."""
     from .lock import WriterLock
 
-    path = _cpath(table_root, consumer_id)
+    st, key = _st(table_root), _ckey(consumer_id)
     with WriterLock(table_root):
-        if os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)
-        os.makedirs(_cdir(table_root), exist_ok=True)
+        try:
+            return json.loads(st.read_text(key))
+        except FileNotFoundError:
+            pass
         state = {"consumer_id": consumer_id, "acked_epoch": int(from_epoch)}
-        _atomic_write(path, json.dumps(state))
+        st.write_atomic(key, json.dumps(state))
         return state
 
 
 def load_cursor(table_root: str, consumer_id: str) -> int | None:
     """Highest acked epoch, or None if the consumer is not registered."""
-    path = _cpath(table_root, consumer_id)
-    if not os.path.exists(path):
+    try:
+        return int(json.loads(_st(table_root).read_text(_ckey(consumer_id)))["acked_epoch"])
+    except FileNotFoundError:
         return None
-    with open(path) as f:
-        return int(json.load(f)["acked_epoch"])
 
 
 def ack(table_root: str, consumer_id: str, epoch: int) -> int:
@@ -93,8 +88,8 @@ def ack(table_root: str, consumer_id: str, epoch: int) -> int:
             raise LookupError(f"consumer {consumer_id!r} is not subscribed")
         if epoch <= cur:
             return cur
-        _atomic_write(
-            _cpath(table_root, consumer_id),
+        _st(table_root).write_atomic(
+            _ckey(consumer_id),
             json.dumps({"consumer_id": consumer_id, "acked_epoch": int(epoch)}),
         )
         return int(epoch)
@@ -102,23 +97,16 @@ def ack(table_root: str, consumer_id: str, epoch: int) -> int:
 
 def drop_consumer(table_root: str, consumer_id: str) -> bool:
     """Unregister (releases the GC pin). True if it existed."""
-    path = _cpath(table_root, consumer_id)
-    if os.path.exists(path):
-        os.remove(path)
-        return True
-    return False
+    return _st(table_root).delete(_ckey(consumer_id))
 
 
 def list_consumers(table_root: str) -> dict[str, int]:
     """{consumer_id: acked_epoch} for every registration."""
-    d = _cdir(table_root)
-    if not os.path.isdir(d):
-        return {}
+    st = _st(table_root)
     out = {}
-    for n in sorted(os.listdir(d)):
-        if n.endswith(".json"):
-            with open(os.path.join(d, n)) as f:
-                s = json.load(f)
+    for n in st.list("_consumers"):
+        if n.endswith(".json") and not n.endswith(".tmp"):
+            s = json.loads(st.read_text(f"_consumers/{n}"))
             out[s["consumer_id"]] = int(s["acked_epoch"])
     return out
 
@@ -129,11 +117,11 @@ def clamp_all(table_root: str, max_epoch: int) -> int:
     consumer must re-consume from the rollback point).  The ONLY
     operation that moves a cursor backward; runs under the caller's
     writer lock.  Returns the number of cursors clamped."""
-    n = 0
+    st, n = _st(table_root), 0
     for cid, acked in list_consumers(table_root).items():
         if acked > max_epoch:
-            _atomic_write(
-                _cpath(table_root, cid),
+            st.write_atomic(
+                _ckey(cid),
                 json.dumps({"consumer_id": cid, "acked_epoch": int(max_epoch)}),
             )
             n += 1

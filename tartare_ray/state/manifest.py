@@ -91,9 +91,10 @@ def load_epoch(table_root: str, epoch: int) -> Manifest:
     """A committed epoch's manifest — time travel to any epoch still
     retained by ``gc_epochs`` (tartare's immutable dated Export
     analogue: every epoch is a readable artifact until GC'd)."""
+    from .storage import storage_for
+
     try:
-        with open(_manifest_path(table_root, epoch)) as f:
-            d = json.load(f)
+        d = json.loads(storage_for(table_root).read_text(f"_manifests/e{epoch:06d}.json"))
     except FileNotFoundError:
         raise FileNotFoundError(
             f"no manifest for epoch {epoch} under {table_root!r} — epoch was "
@@ -104,11 +105,12 @@ def load_epoch(table_root: str, epoch: int) -> Manifest:
 
 
 def load_current(table_root: str) -> Manifest | None:
-    cur = os.path.join(table_root, "_manifests", "CURRENT")
-    if not os.path.exists(cur):
+    from .storage import storage_for
+
+    try:
+        epoch = int(storage_for(table_root).read_text("_manifests/CURRENT").strip())
+    except FileNotFoundError:
         return None
-    with open(cur) as f:
-        epoch = int(f.read().strip())
     return load_epoch(table_root, epoch)
 
 
@@ -133,9 +135,9 @@ def commit_manifest(table_root: str, m: Manifest, *, guard_parent: bool = False)
     multi-writer safety story; the flock is just the POSIX fast-fail.
     Publish/rollback keep the unguarded swap: they move CURRENT across
     generations/backwards by design and hold the destination lease."""
-    from .storage import PosixStorage
+    from .storage import storage_for
 
-    st = PosixStorage(table_root)
+    st = storage_for(table_root)
     st.write_atomic(f"_manifests/e{m.epoch:06d}.json", json.dumps(asdict(m), indent=1))
     if not guard_parent:
         st.write_atomic("_manifests/CURRENT", str(m.epoch))
@@ -163,12 +165,11 @@ def commit_manifest(table_root: str, m: Manifest, *, guard_parent: bool = False)
 
 def list_committed_epochs(table_root: str) -> list[int]:
     """Committed, un-GC'd epoch numbers, ascending (footer-only)."""
-    mdir = os.path.join(table_root, "_manifests")
-    if not os.path.isdir(mdir):
-        return []
+    from .storage import storage_for
+
     return sorted(
         int(n[1:7])
-        for n in os.listdir(mdir)
+        for n in storage_for(table_root).list("_manifests")
         if n.startswith("e") and n.endswith(".json")
     )
 
@@ -218,13 +219,13 @@ def gc_epochs(table_root: str, keep_last: int = 2) -> int:
 
 
 def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
-    mdir = os.path.join(table_root, "_manifests")
+    from .storage import storage_for
+
+    st = storage_for(table_root)
     cur = load_current(table_root)
     if cur is None:
         return 0
-    epochs = sorted(
-        int(n[1:7]) for n in os.listdir(mdir) if n.startswith("e") and n.endswith(".json")
-    )
+    epochs = list_committed_epochs(table_root)
     keep = {e for e in epochs if e > cur.epoch - keep_last}
     keep.add(cur.epoch)
     floor = _view_retention_floor(table_root)
@@ -239,8 +240,7 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
         keep.update(e for e in epochs if e >= cfloor)
     live: set[str] = set()
     for e in keep:
-        with open(_manifest_path(table_root, e)) as f:
-            d = json.load(f)
+        d = json.loads(st.read_text(f"_manifests/e{e:06d}.json"))
         live.update(p["file"] for p in d["partitions"])
     removed = 0
     data = os.path.join(table_root, "data")
@@ -254,7 +254,7 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
 
     for e in epochs:
         if e not in keep:
-            os.remove(_manifest_path(table_root, e))
+            st.delete(f"_manifests/e{e:06d}.json")
             met = os.path.join(table_root, "_metrics", f"e{e:06d}.json")
             if os.path.exists(met):
                 os.remove(met)
@@ -274,11 +274,12 @@ def load_generation(table_root: str) -> int:
     consumers caching per-epoch artifacts key them by (epoch,
     generation) — the generation bump is what invalidates redelivered
     epochs' caches."""
-    p = os.path.join(table_root, "_manifests", "GENERATION")
-    if not os.path.exists(p):
+    from .storage import storage_for
+
+    try:
+        return int(storage_for(table_root).read_text("_manifests/GENERATION").strip())
+    except FileNotFoundError:
         return 0
-    with open(p) as f:
-        return int(f.read().strip())
 
 
 def rollback_to(table_root: str, epoch: int) -> dict:
@@ -301,7 +302,9 @@ def rollback_to(table_root: str, epoch: int) -> dict:
 
     from .consumers import clamp_all
     from .lock import WriterLock
+    from .storage import storage_for
 
+    st = storage_for(table_root)
     with WriterLock(table_root):
         epochs = list_committed_epochs(table_root)
         if epoch not in epochs:
@@ -312,28 +315,29 @@ def rollback_to(table_root: str, epoch: int) -> dict:
         # 0. bump the rollback generation FIRST: once visible, every
         # consumer-side cache of a redelivered epoch is invalid even
         # if the re-committed lineage looks identical (load_generation)
-        _atomic_write(
-            os.path.join(table_root, "_manifests", "GENERATION"),
-            str(load_generation(table_root) + 1),
-        )
+        st.write_atomic("_manifests/GENERATION", str(load_generation(table_root) + 1))
         # 1. the atomic point of no return
-        _atomic_write(os.path.join(table_root, "_manifests", "CURRENT"), str(epoch))
+        st.write_atomic("_manifests/CURRENT", str(epoch))
         # 2. liveness: files any KEPT manifest references stay
         live: set[str] = set()
         for e in epochs:
             if e <= epoch:
-                with open(_manifest_path(table_root, e)) as f:
-                    live.update(p["file"] for p in json.load(f)["partitions"])
+                live.update(
+                    p["file"]
+                    for p in json.loads(st.read_text(f"_manifests/e{e:06d}.json"))["partitions"]
+                )
         files_removed = 0
         for e in drop:
-            with open(_manifest_path(table_root, e)) as f:
-                refs = {p["file"] for p in json.load(f)["partitions"]}
+            refs = {
+                p["file"]
+                for p in json.loads(st.read_text(f"_manifests/e{e:06d}.json"))["partitions"]
+            }
             for rel in refs - live:
                 path = os.path.join(table_root, rel)
                 if os.path.exists(path):
                     os.remove(path)
                     files_removed += 1
-            os.remove(_manifest_path(table_root, e))
+            st.delete(f"_manifests/e{e:06d}.json")
             met = os.path.join(table_root, "_metrics", f"e{e:06d}.json")
             if os.path.exists(met):
                 os.remove(met)

@@ -67,11 +67,9 @@ def publish_snapshot(table_root: str, dest_root: str) -> Manifest:
                 shutil.copyfile(src, tmp)
             os.replace(tmp, dst)
         # mirror the source's rollback generation, then swap CURRENT
-        from .manifest import _atomic_write
+        from .storage import storage_for
 
-        _atomic_write(
-            os.path.join(dest_root, "_manifests", "GENERATION"), str(gen)
-        )
+        storage_for(dest_root).write_atomic("_manifests/GENERATION", str(gen))
         commit_manifest(dest_root, m)  # phase 2: atomic CURRENT swap
         return m
 

@@ -104,9 +104,9 @@ def test_ack_and_subscribe_validation(ray_session, tmp_path):
     with pytest.raises(ValueError):
         eng.ack_changes("c1", head + 1)
     with pytest.raises(ValueError):
-        from tartare_ray.state.consumers import _cpath
+        from tartare_ray.state.consumers import _ckey
 
-        _cpath(eng.table_root, "../evil")
+        _ckey("../evil")
     # idempotent subscribe never regresses a moved cursor
     eng.ack_changes("c1", head)
     assert eng.subscribe("c1") == head
