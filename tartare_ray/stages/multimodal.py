@@ -6,15 +6,30 @@ opaque binaries with metadata documents alongside
 (`tartare/core/gridfs_handler.py` `[UNVERIFIED — empty checkout,
 SURVEY.md §0]`).
 
-The container has no image/audio libraries, so the DECODE KERNEL IS A
-STUB (deterministic fake, or ``NotImplementedError`` when a real
-decode is requested) — but the Ray-side plumbing is real and tested:
-binary column schema, small batch sizes for large payloads, actor-pool
-signature with per-actor setup, and a scalar-metadata output layout
-that downstream relational stages consume.
+Decode support comes in two tiers (round-4 verdict item #2):
+
+* **REAL numpy codecs** for the container formats decodable without
+  external libraries — binary PPM (P6) and uncompressed 24-bit BMP
+  images, PCM WAV audio.  ``encode_*``/``decode_*`` below are complete
+  spec-conformant implementations (BMP row padding + bottom-up rows,
+  WAV RIFF chunk walking, PPM whitespace-delimited header); the
+  ``DecodeStage(real=True)`` actor pool sniffs magic bytes and parses
+  the ACTUAL payload headers + bodies, and the ``multimodal_decode`` /
+  ``multimodal_audio`` queries value-hash-check the decoded dimensions
+  and pixel/sample sums against a DuckDB oracle that independently
+  recomputes them from the source bytes.
+
+* **Stub** for formats that genuinely need a codec library (JPEG/PNG/
+  MP4 — no PIL/ffmpeg in this container): ``DecodeStage(real=False)``
+  derives deterministic fake metadata, loudly documented, so the
+  Ray-side plumbing (binary column schema, small batch sizes for large
+  payloads, actor-pool signature, scalar-metadata output layout)
+  stays exercised end-to-end.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -35,25 +50,261 @@ def attach_payload_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- REAL numpy codecs: PPM (P6), BMP (24-bit BI_RGB), WAV (PCM16) --
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header ``P6\\n<w> <h>\\n255\\n`` + raw
+    interleaved RGB rows.  ``pixels`` is (h, w, 3) uint8."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(buf: bytes) -> dict:
+    """Parse a P6 header (whitespace-delimited tokens, '#' comments per
+    the netpbm spec) and the raw pixel body."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # tokenize: magic, width, height, maxval — comments run to newline
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3 and i < n:
+        while i < n and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < n and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j : j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = toks
+    pix = np.frombuffer(buf, dtype=np.uint8, count=3 * w * h, offset=i)
+    return {"width": w, "height": h, "maxval": maxval, "pixels": pix}
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER, rows bottom-up and padded to 4-byte multiples."""
+    h, w, _ = pixels.shape
+    stride = (3 * w + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : 3 * w] = pixels[::-1].reshape(h, 3 * w)  # bottom-up rows
+    data = body.tobytes()
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def decode_bmp(buf: bytes) -> dict:
+    """Parse the BMP headers (pixel-data offset at byte 10, signed
+    width/height at 18/22, bpp at 28) and de-pad/flip the body."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BI_RGB supported, got bpp={bpp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    body = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off).reshape(
+        h, stride
+    )[:, : 3 * w]
+    if not top_down:
+        body = body[::-1]
+    return {"width": w, "height": h, "pixels": body.reshape(-1)}
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16 little-endian data."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Walk the RIFF chunk list (not fixed offsets — real WAV files
+    carry LIST/fact chunks before data) and decode the PCM16 body."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(buf)
+    fmt, data = None, None
+    while i + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", buf, i)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", buf, i + 8)
+        elif cid == b"data":
+            data = buf[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bits": bits,
+        "n_samples": len(samples) // channels,
+        "samples": samples,
+    }
+
+
+def _text_bytes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 rebased to 0, flat uint8 bytes) of the ``text``
+    column — zero-copy views over the Arrow buffers."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    off = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+        text.offset : text.offset + len(text) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return off - off[0], data
+
+
+def attach_image_payload_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, payload, mime) with a REAL image container
+    per doc: the UTF-8 text bytes laid out row-major as RGB pixels
+    (zero-padded to fill the last row) inside a P6 PPM when the byte
+    length is even, a 24-bit BMP when odd.  Dimensions are a pure
+    function of the byte length L — ``w = L % 31 + 1``,
+    ``h = L // (3w) + 1`` — so a SQL oracle can recompute what the
+    decoder must find by parsing the headers."""
+    off, data = _text_bytes(batch)
+    payloads, mimes = [], []
+    for i in range(len(batch)):
+        b = data[off[i] : off[i + 1]]
+        L = len(b)
+        w = L % 31 + 1
+        h = L // (3 * w) + 1
+        pix = np.zeros(3 * w * h, dtype=np.uint8)
+        pix[:L] = b
+        pix = pix.reshape(h, w, 3)
+        if L % 2 == 0:
+            payloads.append(encode_ppm(pix))
+            mimes.append("image/x-portable-pixmap")
+        else:
+            payloads.append(encode_bmp(pix))
+            mimes.append("image/bmp")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        }
+    )
+
+
+def attach_audio_payload_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, payload, mime) with a REAL mono PCM16 WAV
+    per doc: one sample per UTF-8 text byte, ``sample = (byte-128)*16``
+    — SQL recomputes the decoder's sample count and |amplitude| sum."""
+    off, data = _text_bytes(batch)
+    centered = (data.astype(np.int16) - 128) * 16
+    payloads = [
+        encode_wav(centered[off[i] : off[i + 1]]) for i in range(len(batch))
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(batch), pa.string()),
+        }
+    )
+
+
 class DecodeStage:
     """Actor-pool decode: payload binary → typed metadata columns.
 
-    ``__init__`` is where a real build would load the codec / model
-    once per actor; with ``real=True`` it raises ``NotImplementedError``
-    (no image libs in this container — clearly-marked stub).  The fake
-    decode derives width/height/n_frames deterministically from the
-    byte length, so the full pipeline remains oracle-checkable in SQL
-    (``octet_length``-based)."""
+    ``real=True`` runs the REAL numpy codecs above — magic-byte sniff
+    (``P6`` / ``BM`` / ``RIFF``) then a full header+body parse per
+    payload; header parsing is inherently per-row (variable-length
+    containers), body arithmetic is numpy per payload, and the stage
+    runs as an actor pool over small batches so large payloads bound
+    worker memory.  Unknown magics raise — JPEG/PNG/MP4 need codec
+    libraries this container doesn't ship; that path stays behind
+    ``real=False``, the deterministic stub that derives fake
+    width/height from the byte length (loudly documented; kept so the
+    opaque-blob plumbing is testable for library-gated formats too)."""
 
     def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real image/audio decode requires PIL/torchvision/ffmpeg, "
-                "not present in this container — run with real=False for "
-                "the deterministic stub"
-            )
+        self.real = real
+
+    def _decode_real(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        out = {
+            "fmt": [], "width": [], "height": [], "n_pix": [],
+            "pix_sum": [], "sample_rate": [], "n_samples": [], "amp_sum": [],
+        }
+        for i in range(len(payload)):
+            buf = payload[i].as_py()
+            if buf[:2] == b"P6":
+                d = decode_ppm(buf)
+                out["fmt"].append("ppm")
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_pix"].append(d["width"] * d["height"])
+                out["pix_sum"].append(int(d["pixels"].sum(dtype=np.int64)))
+                out["sample_rate"].append(0)
+                out["n_samples"].append(0)
+                out["amp_sum"].append(0)
+            elif buf[:2] == b"BM":
+                d = decode_bmp(buf)
+                out["fmt"].append("bmp")
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_pix"].append(d["width"] * d["height"])
+                out["pix_sum"].append(int(d["pixels"].sum(dtype=np.int64)))
+                out["sample_rate"].append(0)
+                out["n_samples"].append(0)
+                out["amp_sum"].append(0)
+            elif buf[:4] == b"RIFF":
+                d = decode_wav(buf)
+                out["fmt"].append("wav")
+                out["width"].append(0)
+                out["height"].append(0)
+                out["n_pix"].append(0)
+                out["pix_sum"].append(0)
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_samples"].append(d["n_samples"])
+                out["amp_sum"].append(int(np.abs(d["samples"].astype(np.int64)).sum()))
+            else:
+                raise NotImplementedError(
+                    f"unknown magic {buf[:4]!r}: real decode covers PPM/BMP/WAV; "
+                    "JPEG/PNG/MP4 need codec libraries not in this container"
+                )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "n_pix": pa.array(out["n_pix"], pa.int64()),
+                "pix_sum": pa.array(out["pix_sum"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "amp_sum": pa.array(out["amp_sum"], pa.int64()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real:
+            return self._decode_real(batch)
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
@@ -71,25 +322,49 @@ class DecodeStage:
 
 class ResizeStage:
     """Actor-pool resize: payload → payload', width/height set to the
-    target box.  STUB kernel (no PIL in this container — ``real=True``
-    raises), but the data movement is real: the output binary column is
-    a proportional byte slice of the input, so downstream stages see
-    genuinely smaller buffers, exactly as a real thumbnailer would
-    shrink block sizes mid-pipeline."""
+    target box.
+
+    ``real=True`` is a REAL nearest-neighbor resampler over the numpy
+    codecs above: decode (PPM/BMP), index-map to the target grid, and
+    re-encode in the same container format — downstream stages see
+    genuinely re-encoded, dimension-correct images.  ``real=False``
+    keeps the byte-slice stub for library-gated formats: the output
+    binary column is a proportional slice of the input, so buffers
+    still shrink mid-pipeline exactly as a real thumbnailer would."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real resize requires PIL/opencv, not present in this "
-                "container — run with real=False for the deterministic stub"
-            )
+        self.real = real
         self.target_w = target_w
         self.target_h = target_h
+
+    def _resize_real(self, batch: pa.Table, payload: pa.Array) -> pa.Table:
+        tw, th = self.target_w, self.target_h
+        out = []
+        for i in range(len(payload)):
+            buf = payload[i].as_py()
+            is_ppm = buf[:2] == b"P6"
+            d = decode_ppm(buf) if is_ppm else decode_bmp(buf)
+            src = d["pixels"].reshape(d["height"], d["width"], 3)
+            ys = (np.arange(th) * d["height"]) // th
+            xs = (np.arange(tw) * d["width"]) // tw
+            dst = src[ys][:, xs]
+            out.append(encode_ppm(dst) if is_ppm else encode_bmp(dst))
+        n = len(payload)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(np.full(n, tw, dtype=np.int32)),
+                "height": pa.array(np.full(n, th, dtype=np.int32)),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
+        if self.real:
+            return self._resize_real(batch, payload)
         n = len(payload)
         lens = pc.binary_length(payload).to_numpy(zero_copy_only=False).astype(np.int64)
         keep = np.minimum(lens, self.target_w * self.target_h // 16 + 1)

@@ -52,8 +52,11 @@ def test_multimodal_decode_stub_contract(ray_session):
 
     from tartare_ray.stages.multimodal import DecodeStage, attach_payload_batch
 
+    # real decode covers PPM/BMP/WAV; library-gated magics still raise
     with pytest.raises(NotImplementedError):
-        DecodeStage(real=True)
+        DecodeStage(real=True)(
+            pa.table({"doc_id": ["x"], "payload": pa.array([b"\x89PNG\r\n"], pa.binary())})
+        )
     tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["abcd"])})
     out = DecodeStage(real=False)(attach_payload_batch(tbl))
     assert out["byte_len"].to_pylist() == [4]
@@ -160,10 +163,6 @@ def test_resize_stage_bounds_payloads(ray_session):
     cap = 64 * 64 // 16 + 1
     assert [len(out["payload"][i].as_py()) for i in range(2)] == [min(500, cap), 10]
     assert out["width"].to_pylist() == [64, 64]
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        ResizeStage(real=True)
 
 
 def test_text_embed_deterministic_unit_norm(ray_session):
