@@ -17,12 +17,12 @@ own label and its neighbors' labels:
 Scale shape: every round moves O(E + N) fixed-width int64 rows through
 one hash join and one groupby — never text, never signatures, and no
 driver-side or per-actor whole-graph state; the driver sees only the
-per-round changed-count scalar.  Rounds needed = graph diameter.
-Near-dup components are pairs/triples in practice (diameter ≤ ~3, two
-or three rounds to fixpoint); for adversarial long chains a
-pointer-jumping variant (label ← label[label], one extra join per
-round) would bound rounds at O(log n) — not needed for dedup graphs,
-so we keep the cheaper propagation and cap rounds at ``max_iters``.
+per-round changed-count scalar.  Rounds needed = graph diameter for
+this Dataset loop.  Near-dup components are pairs/triples in practice
+(diameter ≤ ~3, two or three rounds to fixpoint), so the cheaper
+propagation is kept here; the BSP implementation below additionally
+POINTER-JUMPS every round (label ← label[label], one query/answer
+exchange), bounding rounds at O(log diameter) for adversarial chains.
 """
 
 from __future__ import annotations
@@ -246,6 +246,64 @@ class _CCShard:
         self.label = new
         return changed
 
+    # --- pointer jumping (path doubling) -----------------------------
+    # label values are always node ids, so the owner of label L is
+    # shard hash(L) % P; one query/answer exchange per round lets every
+    # node shortcut label[v] <- label[label[v]], doubling the distance
+    # covered per round: rounds drop from graph diameter to
+    # O(log diameter) (round-4 verdict item #3).  Exchange volume is
+    # O(distinct labels) int64s per shard — strictly less than the
+    # message pass itself.
+
+    def compute_jump_queries(self) -> list:
+        """Distinct label values grouped by owning partition — one ref
+        per owner, or None."""
+        lab = np.unique(self.label)
+        owner = _node_part(lab, self.P)
+        order = np.argsort(owner, kind="stable")
+        lab, owner = lab[order], owner[order]
+        bounds = np.searchsorted(owner, np.arange(self.P + 1))
+        return [
+            ray.put(lab[bounds[q] : bounds[q + 1]])
+            if bounds[q + 1] > bounds[q]
+            else None
+            for q in range(self.P)
+        ]
+
+    def answer_jump(self, query_refs: list) -> list:
+        """For each requester's queried node ids (all owned here),
+        return (ids, their current labels)."""
+        out = []
+        for r in query_refs:
+            if r is None:
+                out.append(None)
+                continue
+            ids = ray.get(r)
+            idx = np.searchsorted(self.node, ids)
+            out.append(ray.put((ids, self.label[idx])))
+        return out
+
+    def apply_jump(self, answer_refs: list) -> int:
+        """label[v] <- min(label[v], label[label[v]]) via the answers."""
+        ids_all, lab_all = [], []
+        for r in answer_refs:
+            if r is None:
+                continue
+            ids, labs = ray.get(r)
+            ids_all.append(ids)
+            lab_all.append(labs)
+        if not ids_all:
+            return 0
+        ids = np.concatenate(ids_all)
+        labs = np.concatenate(lab_all)
+        order = np.argsort(ids)  # owners partition the id space: disjoint
+        ids, labs = ids[order], labs[order]
+        pos = np.searchsorted(ids, self.label)
+        new = np.minimum(self.label, labs[pos])
+        changed = int((new < self.label).sum())
+        self.label = new
+        return changed
+
     def labels_table(self) -> pa.Table:
         return pa.table({"node": pa.array(self.node), "label": pa.array(self.label)})
 
@@ -257,14 +315,19 @@ def connected_components_bsp(
     num_partitions: int = 8,
     max_iters: int = 10_000,
     scratch_dir: str | None = None,
+    stats: dict | None = None,
+    jump: bool = True,
 ) -> ray.data.Dataset:
     """Min-label connected components for int64 node ids via BSP
     actors (see block comment above).  Semantics identical to
     ``connected_components``; rounds cost actor RPCs instead of fresh
     Dataset operators, so high-diameter graphs converge ~20× faster
-    (BASELINE.md).  One Dataset pass hash-partitions nodes + symmetric
-    edges to a parquet exchange directory (the house SplitApplier
-    pattern); each actor loads its partition once."""
+    (BASELINE.md), and each round also POINTER-JUMPS
+    (label[v] <- label[label[v]]), so even adversarial long chains
+    converge in O(log diameter) rounds.  One Dataset pass
+    hash-partitions nodes + symmetric edges to a parquet exchange
+    directory (the house SplitApplier pattern); each actor loads its
+    partition once.  Pass ``stats={}`` to receive {"rounds": n}."""
     import shutil
     import tempfile
     import uuid
@@ -311,14 +374,39 @@ def connected_components_bsp(
     edges.map_batches(write_part("edges"), batch_format="pyarrow").sum("n")
 
     shards = [_CCShard.remote(p, P, part_dir) for p in range(P)]
+    rounds = 0
     try:
         for _ in range(max_iters):
+            rounds += 1
+            # (1) neighbor-min message pass
             msgs = ray.get([s.compute_msgs.remote() for s in shards])
             changed = sum(
                 ray.get(
                     [
                         s.apply_msgs.remote([msgs[src_p][q] for src_p in range(P)])
                         for q, s in enumerate(shards)
+                    ]
+                )
+            )
+            # (2) pointer jump: label[v] <- label[label[v]] — shortcut
+            # distance doubles per round, so long chains converge in
+            # O(log diameter) rounds instead of diameter
+            if changed == 0:
+                break  # already at fixpoint: a jump can't change anything
+            if not jump:
+                continue
+            queries = ray.get([s.compute_jump_queries.remote() for s in shards])
+            answers = ray.get(
+                [
+                    s.answer_jump.remote([queries[p][q] for p in range(P)])
+                    for q, s in enumerate(shards)
+                ]
+            )
+            changed += sum(
+                ray.get(
+                    [
+                        s.apply_jump.remote([answers[q][p] for q in range(P)])
+                        for p, s in enumerate(shards)
                     ]
                 )
             )
@@ -333,4 +421,6 @@ def connected_components_bsp(
         for s in shards:
             ray.kill(s)
         shutil.rmtree(part_dir, ignore_errors=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return ray.data.from_arrow(tables)
