@@ -168,11 +168,19 @@ def test_export_drop_duplicates(committed):
 
 
 def test_export_query_contract(ray_session):
+    """Round-4 form: the query emits the token-conservation summary
+    (hash-oracled vs DuckDB by the driver) and the per-partition
+    packing verdict must be TRUE."""
     from tartare_ray.pipelines.queries import cdc_export_shards
 
     t = cdc_export_shards("/root/testdata/sf0.001")
-    assert t.column_names == ["p", "file", "n_seqs"]
-    assert len(t) >= 1 and sum(t["n_seqs"].to_pylist()) > 0
+    assert t.column_names == ["n_docs", "total_tokens", "tokens_with_eos", "conservation_ok"]
+    assert t["conservation_ok"].to_pylist() == [True]
+    assert t["n_docs"][0].as_py() > 0
+    assert (
+        t["tokens_with_eos"][0].as_py()
+        == t["total_tokens"][0].as_py() + t["n_docs"][0].as_py()
+    )
     # deterministic across runs (second run resumes)
     t2 = cdc_export_shards("/root/testdata/sf0.001")
     assert t.equals(t2)

@@ -234,12 +234,24 @@ def test_truncate_tokens_step():
 
 def test_quantile_sketch_error_bound(ray_session):
     """DDSketch guarantee: each reported quantile within 1% RELATIVE
-    error of the exact sample quantile (rank-matched)."""
+    error of the exact sample quantile (rank-matched) — checked on the
+    raw sketch stage, then on the query's own verdict columns (the
+    round-4 hash-oracle form)."""
     import numpy as np
+    import ray.data
 
     from tartare_ray.pipelines.queries import quantile_sketch
+    from tartare_ray.stages.sketch import grouped_quantile_sketch
 
-    got = quantile_sketch(SF).to_pandas().set_index("event_type")
+    got = (
+        grouped_quantile_sketch(
+            ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"]),
+            "event_type",
+            "value",
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
     import duckdb
 
     con = duckdb.connect()
@@ -255,6 +267,12 @@ def test_quantile_sketch_error_bound(ray_session):
         for q in ("q50", "q90", "q99"):
             a, e = float(got.loc[et, q]), float(exact.loc[et, q])
             assert abs(a - e) <= 0.011 * e + 1e-9, (et, q, a, e)
+    # the query's verdict form: exact quantiles match DuckDB, all
+    # within-bound booleans TRUE
+    v = quantile_sketch(SF).to_pandas().set_index("event_type")
+    for et in exact.index:
+        assert float(v.loc[et, "p50_exact"]) == float(exact.loc[et, "q50"])
+        assert bool(v.loc[et, "q50_within"]) and bool(v.loc[et, "q99_within"])
 
 
 def test_quantile_sketch_is_block_invariant(ray_session):
