@@ -85,3 +85,28 @@ def test_bench_emits_valid_json_line(tmp_path):
     assert out["unit"] == "sec" and out["value"] > 0
     assert out["cdc"]["events_per_sec"] > 0
     assert len(out["queries"]) >= 10
+
+
+def test_cdc_backfill_reclaims_stale_head_copies(ray_session):
+    """cdc_backfill leaves exactly ONE hardlinked table copy (the
+    current head's) in the shared flagship workdir — copies from older
+    heads are reclaimed on the next call (r3 advice fix)."""
+    import os
+
+    from tartare_ray.pipelines.flagship import flagship_workdir
+    from tartare_ray.pipelines.queries import cdc_backfill
+
+    sf = "/root/testdata/sf0.001"
+    cdc_backfill(sf)
+    work = flagship_workdir(sf)
+    # plant a fake stale copy from an older head
+    stale_dir = os.path.join(work, "table_backfill_e0")
+    os.makedirs(os.path.join(stale_dir, "data"), exist_ok=True)
+    with open(stale_dir + ".copied", "w") as f:
+        f.write("0")
+    cdc_backfill(sf)
+    left = sorted(
+        n for n in os.listdir(work) if n.startswith("table_backfill_e")
+    )
+    assert not any(n.startswith("table_backfill_e0") for n in left), left
+    assert any(n.endswith(".copied") for n in left), left  # current head kept

@@ -90,3 +90,21 @@ def test_snapshot_diff_multi_epoch_folds_to_final_op(tmp_path, ray_session):
         for r in snapshot_diff(eng, base_epoch=1).take_all()
     }
     assert got == {"A": ("removed", None), "C": ("added", 3)}
+
+
+def test_snapshot_diff_empty_range_returns_empty_schema(tmp_path, ray_session):
+    """base == head is a valid call for a reusable diff surface: it
+    must return an EMPTY diff with the full schema, not crash on
+    changes_between's column-less empty feed (r3 advice fix)."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    _write(log_dir, 0, [(1, "I", "A", [1]), (2, "I", "B", [2])])
+    eng = CdcEngine(
+        log_dir,
+        str(tmp_path / "table"),
+        EngineConfig(num_partitions=2, epoch_max_files=1),
+    )
+    m = eng.replay()
+    t = snapshot_diff(eng, base_epoch=m.epoch)
+    assert t.count() == 0
+    assert t.schema().names == ["doc_id", "change", "n_tok_after"]
