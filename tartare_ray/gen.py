@@ -178,3 +178,90 @@ def generate_log(log_dir: str, cfg: GenConfig) -> GenResult:
     with open(marker, "w") as f:
         f.write(repr(cfg))
     return res
+
+
+# ---------------------------------------------------------------------------
+# Synthetic DOCUMENTS corpus at bench scale (round-4 dedup/ANN campaign)
+# ---------------------------------------------------------------------------
+
+_DOC_WORDS = np.array(
+    [f"w{i:04d}" for i in range(2000)] + ["data", "batch", "spark", "line",
+     "column", "order", "sort", "value", "scan", "shuffle", "merge", "token"]
+)
+
+
+def generate_documents(
+    out_dir: str,
+    n_docs: int,
+    docs_per_file: int = 250_000,
+    words_per_doc: int = 40,
+    seed: int = 7,
+) -> list[str]:
+    """Deterministic documents corpus shaped exactly like
+    ``testdata/sf*/documents.parquet`` (doc_id:int64, text, lang,
+    source, n_chars), written as ``documents.parquet/part-*.parquet``
+    so the existing ``_read`` helper and every dedup query run on it
+    unchanged — the 10^7-doc campaign input (BASELINE.md).
+
+    PLANTED dedup structure, exactly countable for at-scale
+    correctness checks:
+
+    * ``doc_id % 10 == 9`` → EXACT copy of ``doc_id - 9``'s text
+      (n_docs // 10 planted exact duplicates, cluster size 2);
+    * ``doc_id % 10 == 8`` → NEAR-dup of ``doc_id - 8``: same words
+      with the last one replaced (high-Jaccard planted pair);
+    * everything else unique by construction (zipf word draws seeded
+      per doc from a 2k-word vocab — 40 draws collide with negligible
+      probability, and doc-id salting makes each base doc distinct).
+
+    Generation is a Ray pipeline: one task per part file, vectorized
+    numpy word draws, tmp+rename idempotent writes (re-running with the
+    same config reuses finished parts)."""
+    import ray
+
+    d = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    n_files = -(-n_docs // docs_per_file)
+    words = _DOC_WORDS
+
+    @ray.remote
+    def gen_part(fileno: int) -> str:
+        path = os.path.join(d, f"part-{fileno:06d}.parquet")
+        if os.path.exists(path):
+            return path
+        lo = fileno * docs_per_file
+        hi = min(lo + docs_per_file, n_docs)
+        n = hi - lo
+        rng = np.random.default_rng(seed + fileno)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        # zipf-ish word indexes: (n, words_per_doc) draws
+        idx = rng.zipf(1.3, size=(n, words_per_doc)).astype(np.int64) % len(words)
+        # salt word 0 with the doc id so base docs are unique
+        salt = (ids * 2654435761 % len(words)).astype(np.int64)
+        idx[:, 0] = salt
+        mat = words[idx]
+        texts = [" ".join(row) for row in mat]
+        # planted structure: copies reference docs in the SAME file
+        # (doc_id-9 / doc_id-8 share the file at docs_per_file % 10 == 0)
+        for i in range(n):
+            m = ids[i] % 10
+            if m == 9 and i >= 9:
+                texts[i] = texts[i - 9]
+            elif m == 8 and i >= 8:
+                texts[i] = texts[i - 8].rsplit(" ", 1)[0] + " neardup"
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(np.where(ids % 3 == 0, "en", np.where(ids % 3 == 1, "zh", "fr"))),
+                "source": pa.array(np.char.add("src", (ids % 20).astype(str))),
+                "n_chars": pa.array(np.array([len(s) for s in texts], dtype=np.int64)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    assert docs_per_file % 10 == 0, "planted copies must stay within one file"
+    return ray.get([gen_part.remote(f) for f in range(n_files)])
