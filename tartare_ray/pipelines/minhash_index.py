@@ -31,7 +31,8 @@ import ray.data
 from ..functions.hashing import band_keys, minhash_signatures, mix64, shingle_hashes
 from ..stages.dedup import (
     _u64_rows_from_binary,
-    bucket_pairs_group,
+    bucket_pairs_partition,
+    bucket_part_tag,
     verify_minhash_pairs_batch,
 )
 from .dedup_index import EpochDeltaIndex
@@ -150,10 +151,18 @@ class MinHashIndex(EpochDeltaIndex):
         bands = live.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         from ray.data.aggregate import Count
 
+        n_parts = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
         pairs = (
-            bands.groupby(["band", "band_key"])
+            bands.map_batches(
+                bucket_part_tag(["band", "band_key"], n_parts),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("part")
             .map_groups(
-                lambda g: bucket_pairs_group(g, max_bucket=max_bucket),
+                lambda g: bucket_pairs_partition(
+                    g, ["band", "band_key"], max_bucket=max_bucket
+                ),
                 batch_format="pyarrow",
             )
             .groupby(["doc_a", "doc_b"])

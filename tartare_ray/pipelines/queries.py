@@ -1250,8 +1250,16 @@ def _consolidate_small(
 
 
 def _pairs_from_buckets(bucketed: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
-    pairs = bucketed.groupby(keys).map_groups(
-        D.bucket_pairs_group, batch_format="pyarrow"
+    """Bucket rows → distinct candidate pairs.  The per-bucket
+    ``map_groups(bucket_pairs_group)`` path measured 718 s cumulative
+    at 10^6 docs (one Python call per bucket); hash-partitioning the
+    bucket key and folding each partition vectorized replaces millions
+    of group calls with P."""
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    pairs = bucketed.map_batches(
+        D.bucket_part_tag(keys, P), batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("part").map_groups(
+        lambda g: D.bucket_pairs_partition(g, keys), batch_format="pyarrow"
     )
     # distinct pairs (a doc pair may collide in several bands)
     return (
@@ -2195,8 +2203,11 @@ def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data
             num_partitions=_size_parts(grams),
             on=("gram",),
         )
-    pairs = src.groupby("gram").map_groups(
-        lambda g: D.bucket_pairs_group(g, max_bucket=max_gram_docs),
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    pairs = src.map_batches(
+        D.bucket_part_tag(["gram"], P), batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("part").map_groups(
+        lambda g: D.bucket_pairs_partition(g, ["gram"], max_bucket=max_gram_docs),
         batch_format="pyarrow",
     )
     edges = _pairs_norm(

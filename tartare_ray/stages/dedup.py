@@ -187,6 +187,91 @@ def simhash_blocks_from_sigs_batch(batch: pa.Table, blocks: int) -> pa.Table:
     )
 
 
+def bucket_part_tag(keys: list[str], num_parts: int):
+    """Batch fn appending ``part`` = hash of the bucket-key columns mod
+    ``num_parts`` — co-locates each LSH bucket on one partition so pair
+    expansion runs as ``num_parts`` vectorized partition folds
+    (``bucket_pairs_partition``) instead of one Python call per bucket."""
+    from ..functions.hashing import mix64
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), np.uint64)
+        for k in keys:
+            col = b[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = mix64(
+                h ^ col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
+        return b.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int64))
+        )
+
+    return tag
+
+
+def bucket_pairs_partition(
+    part: pa.Table, keys: list[str], max_bucket: int = 256
+) -> pa.Table:
+    """All (doc_a < doc_b) pairs within EVERY LSH bucket of one
+    hash-partition — the vectorized replacement for per-bucket
+    ``groupby(keys).map_groups(bucket_pairs_group)`` (millions of
+    buckets → millions of Python invocations; measured 718 s cumulative
+    at 10^6 docs).  One lexsort + run detection per partition, pair
+    expansion batched by distinct run length (≤ max_bucket distinct
+    lengths, each fully vectorized).  Semantics identical to the
+    per-group path: duplicate (bucket, doc) rows collapse, buckets
+    larger than ``max_bucket`` are dropped as degenerate bands.
+    """
+    doc = part["doc_id"]
+    if isinstance(doc, pa.ChunkedArray):
+        doc = doc.combine_chunks()
+    empty = pa.table(
+        {"doc_a": pa.array([], doc.type), "doc_b": pa.array([], doc.type)}
+    )
+    d = doc.to_numpy(zero_copy_only=False)
+    n = len(d)
+    if n < 2:
+        return empty
+    kc = [
+        part[k].to_numpy(zero_copy_only=False)
+        if not isinstance(part[k], pa.ChunkedArray)
+        else part[k].combine_chunks().to_numpy(zero_copy_only=False)
+        for k in keys
+    ]
+    order = np.lexsort(tuple([d] + kc[::-1]))
+    d = d[order]
+    kc = [c[order] for c in kc]
+    same_key = np.ones(n, bool)
+    same_key[0] = False
+    for c in kc:
+        same_key[1:] &= c[1:] == c[:-1]
+    dup = same_key.copy()
+    dup[1:] &= d[1:] == d[:-1]
+    keep = ~dup
+    # a dropped duplicate is never a run boundary (same_key is True
+    # there), so the kept rows' flags still mark bucket starts exactly
+    d, same_key = d[keep], same_key[keep]
+    starts = np.flatnonzero(~same_key)
+    lens = np.diff(np.append(starts, len(d)))
+    ok = (lens >= 2) & (lens <= max_bucket)
+    starts, lens = starts[ok], lens[ok]
+    if len(starts) == 0:
+        return empty
+    outs_a, outs_b = [], []
+    for length in np.unique(lens):
+        ia, ib = np.triu_indices(int(length), 1)
+        s = starts[lens == length]
+        outs_a.append(d[(s[:, None] + ia[None, :]).ravel()])
+        outs_b.append(d[(s[:, None] + ib[None, :]).ravel()])
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(outs_a), doc.type),
+            "doc_b": pa.array(np.concatenate(outs_b), doc.type),
+        }
+    )
+
+
 def bucket_pairs_group(group: pa.Table, max_bucket: int = 256) -> pa.Table:
     """All (doc_a < doc_b) pairs within one LSH bucket; oversized
     buckets are dropped (degenerate bands — see module docstring)."""

@@ -313,3 +313,43 @@ def test_paragraph_dedup_keep_first_and_digest(planted_dir, ray_session):
     assert got == exp
     assert 1 not in got  # doc 1 is an exact copy of doc 0 — fully deduped
     assert got[0] == (5, exp[0][1])  # 40 words → 5 chunks, all first
+
+
+def test_bucket_pairs_partition_matches_per_bucket_fold():
+    """The vectorized partition fold must emit EXACTLY the per-bucket
+    pairs (same multiset: one row per bucket a pair collides in), for
+    int64 and string doc ids, with duplicate (bucket, doc) rows
+    collapsed and oversized buckets dropped."""
+    from collections import Counter, defaultdict
+
+    from tartare_ray.stages.dedup import bucket_pairs_group, bucket_pairs_partition
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    band = rng.integers(0, 4, n).astype(np.int32)
+    bkey = rng.integers(0, 400, n)
+    doc = rng.integers(0, 1200, n)
+    band[:200], bkey[:200], doc[:200] = 9, 777, np.arange(200)  # oversized bucket
+    t = pa.table({"band": pa.array(band), "band_key": pa.array(bkey), "doc_id": pa.array(doc)})
+
+    got = bucket_pairs_partition(t, ["band", "band_key"], max_bucket=64)
+    gotc = Counter(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+
+    buckets = defaultdict(list)
+    for i in range(n):
+        buckets[(band[i], bkey[i])].append(doc[i])
+    refc = Counter()
+    for ids in buckets.values():
+        g = bucket_pairs_group(
+            pa.table({"doc_id": pa.array(np.array(ids, np.int64))}), max_bucket=64
+        )
+        refc.update(zip(g["doc_a"].to_pylist(), g["doc_b"].to_pylist()))
+    assert gotc == refc and sum(refc.values()) > 0
+
+    t2 = t.set_column(2, "doc_id", pa.array([f"d{int(x):05d}" for x in doc], pa.string()))
+    got2 = bucket_pairs_partition(t2, ["band", "band_key"], max_bucket=64)
+    got2c = Counter(zip(got2["doc_a"].to_pylist(), got2["doc_b"].to_pylist()))
+    assert got2c == Counter({(f"d{a:05d}", f"d{b:05d}"): c for (a, b), c in refc.items()})
+
+    single = bucket_pairs_partition(t.slice(0, 1), ["band", "band_key"])
+    assert single.num_rows == 0 and single.schema.field("doc_a").type == pa.int64()
