@@ -265,3 +265,69 @@ def generate_documents(
 
     assert docs_per_file % 10 == 0, "planted copies must stay within one file"
     return ray.get([gen_part.remote(f) for f in range(n_files)])
+
+
+def generate_embeddings(
+    out_dir: str,
+    n_vecs: int,
+    dim: int = 64,
+    vecs_per_file: int = 250_000,
+    seed: int = 11,
+) -> list[str]:
+    """Deterministic embeddings corpus shaped exactly like
+    ``testdata/sf*/embeddings.parquet`` (vec_id:int64,
+    embedding:list<float>, label:int32), written as
+    ``embeddings.parquet/part-*.parquet`` — the 10^6-vector ANN
+    campaign input (BASELINE.md round 4).
+
+    PLANTED neighbor structure, exactly countable at scale:
+
+    * ``vec_id % 10 == 9`` → NEAR-dup of ``vec_id - 9``'s vector
+      (unit vector + 0.05·noise, renormalized ⇒ cosine ≈ 0.9988),
+      one planted high-cosine pair per decade of ids;
+    * everything else an independent standard-normal unit vector —
+      at dim ≥ 64 random cosines concentrate near 0, so the planted
+      pairs are unambiguous (verified distributed by the campaign).
+
+    Same idempotent tmp+rename one-task-per-part pattern as
+    ``generate_documents``."""
+    import ray
+
+    d = os.path.join(out_dir, "embeddings.parquet")
+    os.makedirs(d, exist_ok=True)
+    n_files = -(-n_vecs // vecs_per_file)
+
+    @ray.remote
+    def gen_part(fileno: int) -> str:
+        path = os.path.join(d, f"part-{fileno:06d}.parquet")
+        if os.path.exists(path):
+            return path
+        lo = fileno * vecs_per_file
+        hi = min(lo + vecs_per_file, n_vecs)
+        n = hi - lo
+        rng = np.random.default_rng(seed + fileno)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        x = rng.standard_normal((n, dim)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        nine = np.flatnonzero(ids % 10 == 9)
+        nine = nine[nine >= 9]  # base (vec_id-9) lives in the same file
+        if len(nine):
+            base = x[nine - 9]
+            pert = base + 0.05 * rng.standard_normal((len(nine), dim)).astype(np.float32)
+            x[nine] = pert / np.linalg.norm(pert, axis=1, keepdims=True)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.reshape(-1), pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+                "label": pa.array((ids % 16).astype(np.int32)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    assert vecs_per_file % 10 == 0, "planted pairs must stay within one file"
+    return ray.get([gen_part.remote(f) for f in range(n_files)])

@@ -2164,7 +2164,9 @@ def dedup_clusters(sf_dir: str, k: int = 8, max_gram_docs: int = 16) -> ray.data
     # count THE global count, so the former global Count aggregate +
     # shared-set broadcast + second gram regroup (two all-to-all passes
     # over the corpus-sized gram table) collapse into this single
-    # shuffle; measured 450 s → 175 s at 10^6 docs.
+    # shuffle; campaign A/B at 10^6 docs: 450 s → 104 s (8 CPUs) /
+    # 76 s (32 CPUs), planted-structure-exact (BASELINE.md round-4
+    # campaign).
     P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
     pairs = grams.map_batches(
         D.bucket_part_tag(["gram"], P), batch_format="pyarrow", zero_copy_batch=True
@@ -2232,10 +2234,25 @@ def _query_ref(sf_dir: str, n_queries: int):
     return ray.put((ids, S.l2_normalize(S.embedding_matrix(sub))))
 
 
+def _table_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTERS only (file or directory
+    of parts) — metadata reads, no data bytes."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+
 def _embedding_head(sf_dir: str, n: int) -> pa.Table:
     """First ``n`` rows via streaming row-group reads — bounded driver
     memory regardless of corpus size (kmeans training sample)."""
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):  # generated part-file corpora (gen.generate_embeddings)
+        path = os.path.join(path, sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0])
+    pf = pq.ParquetFile(path)
     got, rows = [], 0
     for b in pf.iter_batches(batch_size=min(n, 4096), columns=["vec_id", "embedding"]):
         got.append(b)
@@ -2426,11 +2443,21 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     bucket groupby (embeddings ride the shuffle, duplicated n_tables×)
     → within-bucket exact cosine on the GROUP'S OWN rows.  No stage
     holds more than one bucket; nothing broadcasts the corpus.
-    Approximate — recall vs ``embedding_dedup`` is asserted in tests."""
+    Approximate — recall vs ``embedding_dedup`` is asserted in tests.
+
+    ``bits`` SCALES with the corpus (≈ n/512 buckets per table, footer
+    row count) so the expected bucket stays a few hundred rows at any
+    n — a fixed ``bits`` either explodes the within-bucket verify or
+    (above ``max_bucket``) silently drops every bucket at 10^6+ vecs;
+    a high-cosine planted pair still collides w.h.p. (per-table
+    collision ≈ (1 − θ/π)^bits, ≈0.84 at cos 0.999 / bits 11, ≥1 of 8
+    tables ⇒ recall ≈ 1; campaign-verified at 10^6, BASELINE.md)."""
     dim = len(_embedding_head(sf_dir, 1)["embedding"][0].as_py())
+    n = _table_num_rows(sf_dir, "embeddings")
+    bits = max(4, int(np.ceil(np.log2(max(n, 1) / 512))))
     buckets = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         S.HyperplaneBucketStage,
-        fn_constructor_kwargs=dict(dim=dim, bits=4, n_tables=8),
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, n_tables=8),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=_conc(),

@@ -24,6 +24,14 @@ import subprocess
 import sys
 import time
 
+# Runnable from any cwd: the repo root (not tools/) is the import
+# root, and Ray workers are separate processes that only see
+# PYTHONPATH — sys.path alone would fail inside actors.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def _stage_walls(stats: str) -> dict[str, float]:
     """Condense ``Dataset.stats()`` into {operator: wall_sec} — the
