@@ -172,7 +172,14 @@ class MinHashIndex(EpochDeltaIndex):
         # coalesce the aggregate's possible empty blocks before Acero
         # joins (the queries._pairs_norm convention)
         m = pairs.materialize()
-        nparts = max(2, min(64, (m.size_bytes() or 0) // (128 << 20) + 2))
+        # cap so the TWO concurrent join operators' static aggregator
+        # demand (0.125 CPU/partition each) stays within half the
+        # cluster — at the full 4×CPU cap they starve upstream tasks
+        # on small clusters (see queries._size_parts)
+        import ray as _ray
+
+        join_cap = max(2, 2 * int(_ray.cluster_resources().get("CPU", 4)))
+        nparts = max(2, min(join_cap, (m.size_bytes() or 0) // (128 << 20) + 2))
         pairs = m.repartition(nparts).materialize()
 
         def side(key: str, sig: str):

@@ -1282,11 +1282,19 @@ def _sig_dataset(sf_dir: str, stage_cls, **kw) -> ray.data.Dataset:
     )
 
 
-def _size_parts(*dss: ray.data.Dataset, target_bytes: int = 128 << 20) -> int:
+def _size_parts(
+    *dss: ray.data.Dataset, target_bytes: int = 128 << 20, concurrent_joins: int = 1
+) -> int:
     """Join partition count sized by the LARGER side's materialized
-    bytes (one ~128 MB partition each), capped at 4× cluster CPUs —
-    small inputs get few aggregator actors (startup dominates
-    otherwise), 100 TB inputs get CPU-proportional fan-out."""
+    bytes (one ~128 MB partition each), capped so the join's STATIC
+    aggregator-actor CPU demand (0.125 CPU/partition in Ray's join
+    operator) stays within the 50% shuffle budget: 4× cluster CPUs
+    for one join.  ``concurrent_joins`` divides the cap for pipelines
+    whose plan holds several join operators alive at once — with two
+    joins at the full cap the aggregators of an 8-CPU cluster claim
+    8.0/8.0 CPUs and the upstream map tasks starve forever (observed:
+    the 10^7-doc minhash campaign leg wedged at 8 CPUs with 64 pending
+    aggregators; BASELINE.md round-4 campaign note)."""
     biggest = 0
     for ds in dss:
         try:
@@ -1294,7 +1302,7 @@ def _size_parts(*dss: ray.data.Dataset, target_bytes: int = 128 << 20) -> int:
         except Exception:
             pass
     want = max(2, biggest // target_bytes + 1)
-    return int(min(want, 4 * _join_parts()))
+    return int(min(want, max(2, 4 * _join_parts() // max(1, concurrent_joins))))
 
 
 def _pairs_norm(pairs: ray.data.Dataset) -> ray.data.Dataset:
@@ -1400,7 +1408,10 @@ def _attach_sigs(
             )
     if not pairs_normed:
         pairs = _pairs_norm(pairs)
-    nparts = _size_parts(pairs, sigs)
+    # two join operators are alive in this plan at once — halve the
+    # per-join aggregator fan-out so their static CPU demand cannot
+    # starve the upstream map tasks (see _size_parts)
+    nparts = _size_parts(pairs, sigs, concurrent_joins=2)
     j = pairs.join(
         _join_side(sigs, "a_id", a, is_list=is_list),
         join_type="inner",
@@ -1783,7 +1794,7 @@ def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     )
     cb = _pairs_norm(bg.groupby("bh").aggregate(Count(alias_name="cb")))
     c1 = _pairs_norm(bg.groupby("w1h").aggregate(Count(alias_name="c1")))
-    nparts = _size_parts(bg)
+    nparts = _size_parts(bg, concurrent_joins=2)  # both joins alive in one plan
     j = bg.join(
         cb, join_type="inner", num_partitions=nparts, on=("bh",)
     ).join(c1, join_type="inner", num_partitions=nparts, on=("w1h",))

@@ -376,3 +376,26 @@ def test_heavy_hitters_matches_exact_counts(ray_session):
     want = want.sort_values("word", ignore_index=True)
     assert got["word"].tolist() == want["word"].tolist()
     assert got["cnt"].tolist() == want["cnt"].tolist()
+
+
+def test_size_parts_caps_concurrent_join_aggregator_demand(ray_session):
+    """Regression for the 10^7-doc campaign deadlock: Ray's join
+    operator statically reserves 0.125 CPU per partition per join, so
+    a plan holding two joins at the single-join cap (4x cluster CPUs)
+    reserves 100% of the cluster and starves its own upstream map
+    tasks.  concurrent_joins must divide the cap."""
+    import ray as _ray
+
+    from tartare_ray.pipelines.queries import _size_parts
+
+    cpus = int(_ray.cluster_resources()["CPU"])
+    # lazy range: size_bytes comes from metadata (8 B/row), nothing
+    # materializes — 10^10 rows = 80 GB >> any cap * 128 MB
+    big = _ray.data.range(10_000_000_000)
+    one = _size_parts(big)
+    two = _size_parts(big, concurrent_joins=2)
+    cap = 4 * max(4, cpus)
+    assert one == cap  # cap actually binds at this size
+    # two concurrent joins: combined static demand == the one-join cap
+    assert 2 * two <= cap + 1
+    assert two == max(2, cap // 2)
