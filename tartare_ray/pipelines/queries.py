@@ -650,6 +650,43 @@ def approx_count_distinct(sf_dir: str) -> pa.Table:
     )
 
 
+def approx_distinct_check(sf_dir: str, tol: float = 0.02) -> pa.Table:
+    """HLL error-bound verdict (round-4 rows-only→oracle upgrade, same
+    shape as ``quantile_sketch``'s): per event_type the EXACT distinct
+    user count — the two-level distributed distinct already hash-green
+    under ``count_distinct`` — plus a boolean asserting the HLL
+    estimate sits within its ≤2% band.  DuckDB recomputes the exact
+    counts and expects every verdict TRUE, so estimator drift breaks
+    the value hash; ``approx_count_distinct`` itself stays the
+    one-pass, no-shuffle product surface."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    exact = {
+        r["event_type"]: int(r["n_users"])
+        for r in count_distinct(sf_dir).take_all()  # O(groups) rows
+    }
+    approx = grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+    ks = sorted(exact)
+    a = {
+        k: int(n)
+        for k, n in zip(
+            approx["event_type"].to_pylist(),
+            approx["approx_n_distinct"].to_pylist(),
+        )
+    }
+    return pa.table(
+        {
+            "event_type": pa.array(ks, pa.string()),
+            "n_users": pa.array([exact[k] for k in ks], pa.int64()),
+            "within_2pct": pa.array(
+                [abs(a[k] - exact[k]) <= tol * exact[k] for k in ks], pa.bool_()
+            ),
+        }
+    )
+
+
 def grouped_quantile(sf_dir: str) -> pa.Table:
     """EXACT p50/p90 of l_extendedprice per returnflag without a global
     sort: 3-pass histogram refinement (stages/quantile.py) — per-block
@@ -1604,6 +1641,95 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset
         lambda b: D.verify_jaccard_pairs_batch(b, threshold=threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def minhash_recall(sf_dir: str, threshold: float = 0.8, floor: float = 0.9) -> pa.Table:
+    """MinHash-LSH recall vs EXACT 3-gram-Jaccard ground truth, as a
+    value-hash-checked verdict (round-4 rows-only→oracle upgrade for
+    the text near-dup family, the ``ann_ivf_recall`` shape): the rows
+    are the exact high-similarity pairs (Jaccard ≥ ``threshold``) —
+    SQL-recomputable via string grams, the decontaminate convention —
+    plus a boolean asserting the LSH path (``ngram_jaccard_pairs``:
+    minhash → banding → exact-Jaccard verify) recovered ≥ ``floor``
+    of them.  Banding theory: at s ≥ 0.8 a 16-band/4-row scheme fires
+    w.p. ≥ 1−(1−0.8⁴)¹⁶ ≈ 0.9997, so the verdict is deterministic
+    slack, not luck; the signature path is seeded.
+
+    Exact side runs DISTRIBUTED through the same gram-keyed exchange
+    ``dedup_clusters`` uses (k=3, stop-gram cap lifted — this is the
+    ground-truth companion, run at oracle scale; the 100 TB path IS
+    the LSH family it grades).  Intersections come free as the pair
+    multiplicity of the exchange; set sizes broadcast as O(docs)
+    int64 pairs."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = _consolidate_small(
+        docs.map_batches(
+            lambda b: D.gram_doc_batch(b, k=3),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sf_dir,
+        "documents",
+    ).materialize()
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    inter = (
+        grams.map_batches(
+            D.bucket_part_tag(["gram"], P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: D.bucket_pairs_partition(g, ["gram"], max_bucket=1 << 20),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="ni"))
+    )
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sz_ids, sz_ns = [], []
+    for t in sizes.iter_batches(batch_format="pyarrow"):  # O(docs) int64 rows
+        sz_ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        sz_ns.append(t["n"].to_numpy(zero_copy_only=False))
+    sz_ids = np.concatenate(sz_ids + [np.array([], np.int64)]).astype(np.int64)
+    sz_ns = np.concatenate(sz_ns + [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(sz_ids)
+    sz_ref = ray.put((sz_ids[order], sz_ns[order]))
+
+    def jac(b: pa.Table, threshold=threshold) -> pa.Table:
+        ids, ns = ray.get(sz_ref)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        ni = b["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = ns[np.searchsorted(ids, a)]
+        nb = ns[np.searchsorted(ids, c)]
+        j = ni / (na + nb - ni)
+        keep = j >= threshold
+        return pa.table(
+            {"doc_a": pa.array(a[keep]), "doc_b": pa.array(c[keep])}
+        )
+
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in inter.map_batches(
+            jac, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # O(high-sim pairs)
+    }
+    lsh = ngram_jaccard_pairs(sf_dir, threshold=0.3)
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh.take_all()  # O(candidate pairs), small by construction
+        if r["jaccard"] >= threshold
+    }
+    recall = (
+        len(exact_pairs & lsh_pairs) / len(exact_pairs) if exact_pairs else 1.0
+    )
+    rows = sorted(exact_pairs)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in rows], pa.int64()),
+            "doc_b": pa.array([p[1] for p in rows], pa.int64()),
+            "recall_ok": pa.array([recall >= floor] * len(rows), pa.bool_()),
+        }
     )
 
 
@@ -2693,6 +2819,45 @@ def cdc_quantile_view(sf_dir: str) -> pa.Table:
 
     eng = run_flagship(sf_dir)
     return IncrementalQuantileView(eng, "q_ntok_view", "source", "n_tok").as_table()
+
+
+def cdc_quantile_check(sf_dir: str, tol: float = 0.02) -> pa.Table:
+    """DDSketch-view error-bound verdict (round-4 rows-only→oracle
+    upgrade; ``quantile_sketch``'s shape applied to the INCREMENTAL
+    sketch): per source the EXACT disc p50/p90/p99 of n_tok over the
+    committed snapshot — 3-pass refinement, hash-green machinery —
+    plus booleans asserting the incrementally-maintained sketch
+    (``cdc_quantile_view``) sits within its relative-error band of
+    each.  DuckDB recomputes the exact quantiles from the
+    declaratively-rebuilt final state and expects every verdict TRUE:
+    a view whose retraction math drifts from the data now breaks the
+    value hash, not just the pytest.  Both sides are O(groups) rows;
+    the snapshot streams through the same pruned two-column read the
+    view's rescue path uses."""
+    from ..stages.quantile import grouped_quantile_exact
+    from .views import IncrementalQuantileView
+
+    eng = run_flagship(sf_dir)
+    sk = (
+        IncrementalQuantileView(eng, "q_ntok_view", "source", "n_tok")
+        .as_table()
+        .to_pandas()
+        .set_index("source")
+    )
+    exact = grouped_quantile_exact(
+        lambda: eng.snapshot_dataset(columns=["source", "n_tok"]),
+        key="source",
+        col="n_tok",
+        qs=[0.5, 0.9, 0.99],
+    ).to_pandas()
+    keys = exact["source"].tolist()
+    cols: dict = {"source": keys}
+    for sk_col, ex_col in (("q50", "p50"), ("q90", "p90"), ("q99", "p99")):
+        e = exact[ex_col].to_numpy()
+        a = sk.loc[keys, sk_col].to_numpy()
+        cols[f"{ex_col}_exact"] = e
+        cols[f"{sk_col}_within"] = np.abs(a - e) <= tol * np.abs(e) + 1e-9
+    return pa.table(cols)
 
 
 def cdc_vocab_stats(sf_dir: str, k: int = 20) -> ray.data.Dataset:
@@ -4154,9 +4319,14 @@ QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "corpus_shuffle": corpus_shuffle,
     "hopping_window": hopping_window,
-    "funnel_depth": funnel_depth,
-    "heavy_hitters": heavy_hitters,
-    "pii_scrub": pii_scrub,
+    # — round-4 second-session verdict upgrades (never driver-checked →
+    #   inside the window): error-bound/recall verdicts that value-anchor
+    #   the HLL sketch, the incremental DDSketch view and the minhash
+    #   near-dup path; displaced funnel_depth / heavy_hitters / pii_scrub
+    #   (all green r3)
+    "approx_distinct_check": approx_distinct_check,
+    "cdc_quantile_check": cdc_quantile_check,
+    "minhash_recall": minhash_recall,
     "zscore_outliers": zscore_outliers,
     "textrank_words": textrank_words,
     # — late round-3 additions (never driver-checked → inside the window,
@@ -4189,6 +4359,9 @@ QUERIES = {
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "filter_project": filter_project,
+    "funnel_depth": funnel_depth,
+    "heavy_hitters": heavy_hitters,
+    "pii_scrub": pii_scrub,
     "grouped_quantile": grouped_quantile,
     "full_outer_join": full_outer_join,
     "ann_ivf_topk": ann_ivf_topk,
@@ -4371,6 +4544,62 @@ ORACLE_SQL = {
                quantile_disc(value, 0.99) AS p99_exact,
                TRUE AS q50_within, TRUE AS q90_within, TRUE AS q99_within
         FROM events WHERE value > 0 GROUP BY event_type
+    """,
+    # HLL error-bound oracle (round-4 second session): DuckDB
+    # recomputes the exact grouped distinct and expects the ≤2%
+    # verdict TRUE — estimator drift breaks the value hash.
+    "approx_distinct_check": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS within_2pct
+        FROM events GROUP BY event_type
+    """,
+    # Incremental-DDSketch error-bound oracle: exact disc quantiles of
+    # n_tok per source over the declaratively-rebuilt final state
+    # (the cdc_minmax_view CTE), with every within-band verdict TRUE.
+    "cdc_quantile_check": """
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n0
+            FROM documents
+        ), final AS (
+            SELECT source,
+                   CASE WHEN doc_id % 5 < 2 THEN n0 + 1 ELSE n0 END AS n_tok
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT source,
+               CAST(quantile_disc(n_tok, 0.5) AS DOUBLE) AS p50_exact,
+               CAST(quantile_disc(n_tok, 0.9) AS DOUBLE) AS p90_exact,
+               CAST(quantile_disc(n_tok, 0.99) AS DOUBLE) AS p99_exact,
+               TRUE AS q50_within, TRUE AS q90_within, TRUE AS q99_within
+        FROM final GROUP BY source
+    """,
+    # MinHash-LSH recall oracle: DuckDB recomputes the exact
+    # word-3-gram Jaccard ≥ 0.8 pair set as STRING grams (hash
+    # equality ⇔ gram equality w.h.p., the decontaminate convention)
+    # and expects the recall-≥-floor verdict TRUE on every row.
+    "minhash_recall": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gs
+            FROM w WHERE len(ws) >= 3
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT doc_id, len(gs) AS n FROM g
+        )
+        SELECT doc_a, doc_b, TRUE AS recall_ok
+        FROM inter
+        JOIN sz sa ON sa.doc_id = inter.doc_a
+        JOIN sz sb ON sb.doc_id = inter.doc_b
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
     """,
     "grouped_mode": """
         SELECT user_id, event_type AS mode_event_type, n FROM (

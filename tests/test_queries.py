@@ -76,6 +76,26 @@ def test_rows_only_queries_run(ray_session):
         assert list(df.columns) == cols, name
 
 
+def test_round4_verdict_queries_not_vacuous(ray_session):
+    """The round-4 error-bound/recall verdict entries must be
+    non-vacuous: rows exist and every verdict boolean is TRUE (the
+    SQL-parity of the anchor columns is covered by the parametrized
+    oracle test above)."""
+    from tartare_ray.pipelines.queries import QUERIES
+
+    for name, bool_cols in [
+        ("approx_distinct_check", ["within_2pct"]),
+        ("cdc_quantile_check", ["q50_within", "q90_within", "q99_within"]),
+        ("minhash_recall", ["recall_ok"]),
+    ]:
+        df = QUERIES[name](SF)
+        if hasattr(df, "to_pandas"):
+            df = df.to_pandas()
+        assert len(df) > 0, name
+        for c in bool_cols:
+            assert df[c].all(), f"{name}.{c}"
+
+
 def test_grouped_quantile_exact_randomized(ray_session):
     """Histogram-refinement quantile == full-sort quantile on skewed
     data with heavy duplicates and tiny groups (rank = ceil(q*n)-1)."""
