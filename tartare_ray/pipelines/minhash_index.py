@@ -216,7 +216,7 @@ class MinHashIndex(EpochDeltaIndex):
         near-dup-aware shard export (pipelines/export.py)."""
         from ray.data.aggregate import Count
 
-        from ..stages.graph import connected_components
+        from ..stages.graph import connected_components_auto
 
         pairs = self.near_dup_pairs(threshold=threshold).materialize()
         edges = pairs.map_batches(
@@ -243,7 +243,10 @@ class MinHashIndex(EpochDeltaIndex):
 
         n_parts = _size_parts(edges)
         nodes = nodes.materialize().repartition(n_parts).materialize()
-        labels = connected_components(edges, nodes, num_partitions=n_parts)
+        # string doc_ids route through the BSP engine via an
+        # order-preserving dense-rank dictionary (round-4: no CC path
+        # is diameter-bound anymore; survivor = min doc_id exactly)
+        labels = connected_components_auto(edges, nodes, num_partitions=n_parts)
         return labels.map_batches(
             lambda b: pa.table(
                 {"doc_id": b["node"].filter(pc.not_equal(b["node"], b["label"]))}

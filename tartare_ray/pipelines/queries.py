@@ -1533,7 +1533,11 @@ def minhash_cluster_dedup(sf_dir: str, threshold: float = 0.5) -> ray.data.Datas
         .select_columns(["node"])
     )
     nodes = _pairs_norm(nodes)
-    labels = G.connected_components(edges, nodes, num_partitions=_size_parts(edges))
+    # int64 testdata doc_ids take the BSP path directly; a string-id
+    # corpus dictionary-encodes through the same front-end (round-4)
+    labels = G.connected_components_auto(
+        edges, nodes, num_partitions=max(2, min(16, _size_parts(edges)))
+    )
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow",

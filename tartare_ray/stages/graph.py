@@ -424,3 +424,172 @@ def connected_components_bsp(
     if stats is not None:
         stats["rounds"] = rounds
     return ray.data.from_arrow(tables)
+
+
+# --------------------------------------------------------------------------
+# Type-generic front-end: dictionary-encode non-int64 node ids so EVERY
+# graph takes the fast BSP path (round-4: the Dataset loop used to be
+# the mandatory fallback for string doc_ids — the one remaining
+# diameter-bound CC path).
+# --------------------------------------------------------------------------
+
+
+def dense_rank_encode(
+    nodes: ray.data.Dataset, *, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """ORDER-PRESERVING dense-rank dictionary over DISTINCT ``node``
+    values: returns (node, code:int64) with code = the node's rank in
+    the global sort order, assigned distributed — sampled range
+    boundaries (O(P) driver rows), per-range local sort + offset from
+    a P-row count prefix sum (the ``corpus_shuffle`` rank pattern).
+    Order preservation is what keeps min-label semantics exact: the
+    min CODE in a component is the code of the min NODE, so decoded
+    survivors are identical to running CC on the raw ids."""
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "code": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    P = max(1, num_partitions)
+    frac = min(1.0, (128.0 * P) / n)
+    sample = sorted(r["node"] for r in nodes.random_sample(frac, seed=42).take_all())
+    step = max(1, len(sample) // P)
+    bounds = sample[step::step][: P - 1]  # ≤ P-1 monotone boundaries
+    bounds_arr = np.array(bounds, dtype=object)
+
+    def tag(b: pa.Table) -> pa.Table:
+        vals = b["node"].to_numpy(zero_copy_only=False)
+        bkt = (
+            np.searchsorted(bounds_arr, vals, side="right").astype(np.int64)
+            if len(bounds_arr)
+            else np.zeros(len(vals), np.int64)
+        )
+        return b.append_column("bucket", pa.array(bkt))
+
+    tagged = nodes.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    from ray.data.aggregate import Count
+
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in tagged.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    }  # ≤ P rows on the driver
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("node", "ascending")])
+        off = offsets[int(t["bucket"][0].as_py())]
+        return pa.table(
+            {
+                "node": t["node"],
+                "code": pa.array(off + np.arange(len(t), dtype=np.int64)),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(rank_group, batch_format="pyarrow")
+
+
+def connected_components_auto(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    num_partitions: int = 8,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """Min-label connected components for ANY orderable node type via
+    the BSP engine: int64 ids go straight in; other types (string
+    doc_ids) are dense-rank dictionary-encoded first (order-preserving,
+    so the decoded survivor is exactly the min original id), CC runs
+    on int64 codes, and labels decode back through the dictionary.
+    ``nodes`` must be DISTINCT and cover every edge endpoint (the CC
+    contract).  Encode/decode cost: one count aggregate + two
+    edge-side joins + one label-side join, all O(N + E) fixed-width
+    rows — paid once, vs the Dataset loop's join+groupby PER ROUND."""
+    node_type = nodes.schema().base_schema.field("node").type
+    if pa.types.is_integer(node_type):
+        return connected_components_bsp(
+            edges, nodes, num_partitions=num_partitions, stats=stats
+        )
+    P = max(2, num_partitions)
+    dict_ds = dense_rank_encode(nodes, num_partitions=P).materialize()
+    code_nodes = dict_ds.map_batches(
+        lambda b: pa.table({"node": b["code"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    u_side = dict_ds.map_batches(
+        lambda b: pa.table({"u_id": b["node"], "u_code": b["code"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    v_side = dict_ds.map_batches(
+        lambda b: pa.table({"v_id": b["node"], "v_code": b["code"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    code_edges = (
+        edges.join(
+            u_side,
+            join_type="inner",
+            num_partitions=P,
+            on=("u",),
+            right_on=("u_id",),
+        )
+        .join(
+            v_side,
+            join_type="inner",
+            num_partitions=P,
+            on=("v",),
+            right_on=("v_id",),
+        )
+        .map_batches(
+            lambda b: pa.table({"u": b["u_code"], "v": b["v_code"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    labels = connected_components_bsp(
+        code_edges, code_nodes, num_partitions=num_partitions, stats=stats
+    )
+    # decode BOTH columns with one dictionary pass: join node codes
+    # back to ids; the label column decodes via the same dict keyed on
+    # the label code (order preservation ⇒ decoded label = min id).
+    lab_side = dict_ds.map_batches(
+        lambda b: pa.table({"l_code": b["code"], "l_id": b["node"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        labels.join(
+            dict_ds.map_batches(
+                lambda b: pa.table({"n_code": b["code"], "n_id": b["node"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="inner",
+            num_partitions=P,
+            on=("node",),
+            right_on=("n_code",),
+        )
+        .join(
+            lab_side,
+            join_type="inner",
+            num_partitions=P,
+            on=("label",),
+            right_on=("l_code",),
+        )
+        .map_batches(
+            lambda b: pa.table({"node": b["n_id"], "label": b["l_id"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -121,6 +121,82 @@ def test_cc_string_nodes(ray_session):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"}
 
 
+def test_cc_auto_string_nodes_via_bsp_dictionary(ray_session):
+    """connected_components_auto dictionary-encodes string doc_ids
+    (order-preserving dense rank) and runs the BSP engine: survivors
+    are the exact lexicographic-min ids, including on a 60-node chain
+    that needs pointer jumping (the case the Dataset loop is
+    diameter-bound on)."""
+    from tartare_ray.stages.graph import connected_components_auto
+
+    # chain d000-d001-...-d059 (one component, min = d000), plus a
+    # triangle and an isolated node
+    chain = [f"d{i:03d}" for i in range(60)]
+    edges_u = chain[1:] + ["t2", "t3", "t3"]
+    edges_v = chain[:-1] + ["t1", "t1", "t2"]
+    nodes = chain + ["t1", "t2", "t3", "lone"]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(edges_u, pa.string()),
+                "v": pa.array(edges_v, pa.string()),
+            }
+        )
+    )
+    n = ray.data.from_arrow(pa.table({"node": pa.array(nodes, pa.string())}))
+    stats = {}
+    res = connected_components_auto(e, n, num_partitions=4, stats=stats)
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    want = {c: "d000" for c in chain}
+    want.update({"t1": "t1", "t2": "t1", "t3": "t1", "lone": "lone"})
+    assert got == want
+    # pointer jumping must have kicked in: far fewer rounds than the
+    # 60-node chain diameter
+    assert stats["rounds"] <= 12
+
+
+def test_cc_auto_int_nodes_take_bsp_directly(ray_session):
+    """int64 graphs skip the dictionary: auto == union-find labels."""
+    from tartare_ray.stages.graph import connected_components_auto
+
+    rng = np.random.default_rng(7)
+    n_nodes = 300
+    edges = [tuple(map(int, e)) for e in rng.integers(0, n_nodes, (400, 2))]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    n = ray.data.from_arrow(
+        pa.table({"node": pa.array(list(range(n_nodes)), pa.int64())})
+    )
+    res = connected_components_auto(e, n, num_partitions=4)
+    t = pa.concat_tables(res.iter_batches(batch_format="pyarrow"))
+    got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert got == _uf_labels(n_nodes, edges)
+
+
+def test_dense_rank_encode_is_order_isomorphic(ray_session):
+    """codes are 0..N-1 and sorted(code) order == sorted(node) order."""
+    from tartare_ray.stages.graph import dense_rank_encode
+
+    vals = [f"k{i:04d}" for i in range(500)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"node": pa.array(vals, pa.string())}))
+    t = pa.concat_tables(
+        dense_rank_encode(ds, num_partitions=6).iter_batches(batch_format="pyarrow")
+    )
+    m = dict(zip(t["node"].to_pylist(), t["code"].to_pylist()))
+    assert sorted(m.values()) == list(range(500))
+    ordered = sorted(m)
+    assert [m[k] for k in ordered] == list(range(500))
+
+
 def test_cc_bsp_matches_dataset_loop_and_union_find(ray_session):
     """BSP actor implementation (persistent partition state, message
     passing) is semantically identical to the Dataset loop."""
