@@ -1737,6 +1737,126 @@ def minhash_recall(sf_dir: str, threshold: float = 0.8, floor: float = 0.9) -> p
     )
 
 
+def gram_containment(sf_dir: str, k: int = 8, tau: float = 0.9) -> ray.data.Dataset:
+    """ASYMMETRIC near-dup detection: directed (inner, outer) pairs
+    where ≥ ``tau`` of the inner doc's word-``k``-gram set appears in
+    the outer doc — the quote-inclusion / boilerplate-wrap case that
+    symmetric Jaccard under-scores (a 50-gram doc fully quoted inside
+    a 500-gram doc has J ≈ 0.1 but containment 1.0).  The filter a
+    curation pass applies: drop the inner doc, keep the superset.
+
+    Shape: the same single gram-keyed exchange ``dedup_clusters`` uses
+    (one text pass → distinct (gram, doc) int64 rows → partition-local
+    pair expansion); pair multiplicity IS |A∩B|, set sizes ride a
+    broadcast of O(docs) int64 pairs, and both directed containments
+    come vectorized from one undirected pair row.  Value-oracled
+    against DuckDB string-gram recomputation (hash equality ⇔ gram
+    equality w.h.p., the decontaminate convention).  At web scale the
+    exchange takes the stop-gram cap (containment becomes a lower
+    bound); this entry documents the exact-oracle configuration."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = _consolidate_small(
+        docs.map_batches(
+            lambda b: D.gram_doc_batch(b, k=k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        sf_dir,
+        "documents",
+    ).materialize()
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    inter = (
+        grams.map_batches(
+            D.bucket_part_tag(["gram"], P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: D.bucket_pairs_partition(g, ["gram"], max_bucket=1 << 20),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="ni"))
+    )
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sz_ids, sz_ns = [], []
+    for t in sizes.iter_batches(batch_format="pyarrow"):  # O(docs) int64 rows
+        sz_ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+        sz_ns.append(t["n"].to_numpy(zero_copy_only=False))
+    sz_ids = np.concatenate(sz_ids + [np.array([], np.int64)]).astype(np.int64)
+    sz_ns = np.concatenate(sz_ns + [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(sz_ids)
+    sz_ref = ray.put((sz_ids[order], sz_ns[order]))
+
+    def directed(b: pa.Table, tau=tau) -> pa.Table:
+        ids, ns = ray.get(sz_ref)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        ni = b["ni"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = ns[np.searchsorted(ids, a)].astype(np.float64)
+        nb = ns[np.searchsorted(ids, c)].astype(np.float64)
+        # both directions from one undirected row
+        inner = np.concatenate([a, c])
+        outer = np.concatenate([c, a])
+        cont = np.concatenate([ni / na, ni / nb])
+        keep = cont >= tau
+        return pa.table(
+            {
+                "inner_doc": pa.array(inner[keep]),
+                "outer_doc": pa.array(outer[keep]),
+                "containment": pa.array(np.round(cont[keep], 6)),
+            }
+        )
+
+    return inter.map_batches(directed, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def perplexity_filter(sf_dir: str, q: float = 0.8) -> pa.Table:
+    """CCNet-shaped LM-score gate: keep documents whose self-corpus
+    bigram cross-entropy (``bigram_logprob`` — bitwise-DuckDB-exact)
+    is at or below the per-source p80 — the "head + middle" cut a
+    perplexity-bucketed curation pass applies before training.
+
+    Shape: the score pass shuffles int64 rows only (bigram machinery);
+    source attaches via one hash join against a two-column pruned
+    read; per-source thresholds come from the exact 3-pass quantile
+    refinement (O(sources) driver rows) and broadcast into a
+    vectorized filter.  Scores are rounded to 6 dp on BOTH engines, so
+    the boundary comparison is bit-identical and the kept set is
+    value-hash-checked end-to-end."""
+    from ..stages.quantile import grouped_quantile_exact
+
+    scores = _pairs_norm(bigram_logprob(sf_dir))  # (doc_id, n_bigrams, H)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    nparts = _size_parts(scores, src)
+    joined = scores.join(
+        src, join_type="inner", num_partitions=nparts, on=("doc_id",)
+    ).materialize()  # (doc_id, cross_entropy, source) int64+float rows
+    thr_tbl = grouped_quantile_exact(
+        lambda: joined.select_columns(["source", "cross_entropy"]),
+        key="source",
+        col="cross_entropy",
+        qs=[q],
+    )
+    col = f"p{round(q * 100):02d}"
+    thr = dict(
+        zip(thr_tbl["source"].to_pylist(), thr_tbl[col].to_pylist())
+    )  # O(sources)
+    thr_ref = ray.put(thr)
+
+    def gate(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        srcs = pa.array(sorted(t), pa.string())
+        lims = np.array([t[s] for s in sorted(t)], dtype=np.float64)
+        idx = pc.index_in(b["source"], value_set=srcs).to_numpy(
+            zero_copy_only=False
+        )
+        keep = b["cross_entropy"].to_numpy(zero_copy_only=False) <= lims[idx]
+        out = b.filter(pa.array(keep))
+        return out.select(["doc_id", "source", "cross_entropy"])
+
+    return joined.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def curation_pipeline(sf_dir: str, k: int = 20, gram_k: int = 8) -> ray.data.Dataset:
     """The composed training-data curation pass — the pipeline a real
     corpus runs end-to-end, as ONE streaming composition with ONE
@@ -4331,8 +4451,11 @@ QUERIES = {
     "approx_distinct_check": approx_distinct_check,
     "cdc_quantile_check": cdc_quantile_check,
     "minhash_recall": minhash_recall,
-    "zscore_outliers": zscore_outliers,
-    "textrank_words": textrank_words,
+    # — round-4 second-session operators (asymmetric containment dedup
+    #   + perplexity gate), never driver-checked → inside the window,
+    #   displacing zscore_outliers / textrank_words (green r3)
+    "gram_containment": gram_containment,
+    "perplexity_filter": perplexity_filter,
     # — late round-3 additions (never driver-checked → inside the window,
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -4366,6 +4489,8 @@ QUERIES = {
     "funnel_depth": funnel_depth,
     "heavy_hitters": heavy_hitters,
     "pii_scrub": pii_scrub,
+    "zscore_outliers": zscore_outliers,
+    "textrank_words": textrank_words,
     "grouped_quantile": grouped_quantile,
     "full_outer_join": full_outer_join,
     "ann_ivf_topk": ann_ivf_topk,
@@ -4604,6 +4729,61 @@ ORACLE_SQL = {
         JOIN sz sa ON sa.doc_id = inter.doc_a
         JOIN sz sb ON sb.doc_id = inter.doc_b
         WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8
+    """,
+    # Directed word-8-gram containment (string grams, decontaminate
+    # convention): inner doc ≥90% contained in outer doc.
+    "gram_containment": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ws) - 6),
+                       i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS gs
+            FROM w WHERE len(ws) >= 8
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g
+        ), inter AS (
+            SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+                   count(*) AS ni
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT doc_id, len(gs) AS n FROM g
+        )
+        SELECT inner_doc, outer_doc,
+               round(ni * 1.0 / sa.n, 6) AS containment
+        FROM inter JOIN sz sa ON sa.doc_id = inter.inner_doc
+        WHERE ni * 1.0 / sa.n >= 0.9
+    """,
+    # Per-source perplexity gate over the (bitwise-exact) bigram-LM
+    # score: keep docs at or below the per-source p80 cross-entropy.
+    "perplexity_filter": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), b AS (
+            SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ), cb AS (
+            SELECT bg, count(*) AS cb FROM b GROUP BY bg
+        ), c1 AS (
+            SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        ), j AS (
+            SELECT doc_id, log2(c1.c1) - log2(cb.cb) AS xl
+            FROM b JOIN cb USING (bg) JOIN c1 USING (w1)
+        ), s AS (
+            SELECT j.doc_id, d.source,
+                   round(sum(xl) / count(*), 6) AS cross_entropy
+            FROM j JOIN documents d ON d.doc_id = j.doc_id
+            GROUP BY j.doc_id, d.source
+        ), thr AS (
+            SELECT source, quantile_disc(cross_entropy, 0.8) AS lim
+            FROM s GROUP BY source
+        )
+        SELECT doc_id, source, cross_entropy
+        FROM s JOIN thr USING (source)
+        WHERE cross_entropy <= lim
     """,
     "grouped_mode": """
         SELECT user_id, event_type AS mode_event_type, n FROM (

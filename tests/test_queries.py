@@ -87,6 +87,8 @@ def test_round4_verdict_queries_not_vacuous(ray_session):
         ("approx_distinct_check", ["within_2pct"]),
         ("cdc_quantile_check", ["q50_within", "q90_within", "q99_within"]),
         ("minhash_recall", ["recall_ok"]),
+        ("gram_containment", []),
+        ("perplexity_filter", []),
     ]:
         df = QUERIES[name](SF)
         if hasattr(df, "to_pandas"):
