@@ -1139,8 +1139,11 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
 
 def doc_repetition(sf_dir: str) -> ray.data.Dataset:
     """Within-document repeated-3-gram ratio (Gopher-style repetition
-    quality filter).  Rows-only: per-doc shingle-set semantics aren't
-    SQL-expressible; exactness asserted in pytest on hand-built docs."""
+    quality filter).  Round-4 oracle upgrade: the per-doc shingle-set
+    ratio IS SQL-expressible as string grams (distinct-gram count over
+    total grams, hash equality ⇔ gram equality w.h.p. — the
+    decontaminate convention), so the driver now value-hash-checks it;
+    exactness additionally asserted in pytest on hand-built docs."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         TX.repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -4441,7 +4444,6 @@ QUERIES = {
     "cdc_minhash_index": cdc_minhash_index,
     "ann_pq_recall": ann_pq_recall,
     "paragraph_dedup": paragraph_dedup,
-    "corpus_shuffle": corpus_shuffle,
     "hopping_window": hopping_window,
     # — round-4 second-session verdict upgrades (never driver-checked →
     #   inside the window): error-bound/recall verdicts that value-anchor
@@ -4456,6 +4458,10 @@ QUERIES = {
     #   displacing zscore_outliers / textrank_words (green r3)
     "gram_containment": gram_containment,
     "perplexity_filter": perplexity_filter,
+    # — doc_repetition upgraded rows-only → SQL value oracle (round-4
+    #   second session): moved inside the window for its first
+    #   value-hash row, displacing corpus_shuffle (green r3)
+    "doc_repetition": doc_repetition,
     # — late round-3 additions (never driver-checked → inside the window,
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -4521,7 +4527,7 @@ QUERIES = {
     "ngram_topk": ngram_topk,
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
-    "doc_repetition": doc_repetition,
+    "corpus_shuffle": corpus_shuffle,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
     "lang_id": lang_id,
@@ -4784,6 +4790,26 @@ ORACLE_SQL = {
         SELECT doc_id, source, cross_entropy
         FROM s JOIN thr USING (source)
         WHERE cross_entropy <= lim
+    """,
+    # Gopher repetition ratio as string 3-grams (short docs fall back
+    # to word-level duplicates, mirroring shingle_hashes's rule).
+    "doc_repetition": """
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(1, len(ws) - 1),
+                           i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                   ELSE ws END AS gs
+            FROM w
+        )
+        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_shingles,
+               round(CASE WHEN len(gs) > 0
+                          THEN 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
+                          ELSE 0.0 END, 6) AS repetition_ratio
+        FROM g
     """,
     "grouped_mode": """
         SELECT user_id, event_type AS mode_event_type, n FROM (
