@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "source_kl",
     "percent_rank_score",
     "vocab_coverage",
+    "gram_containment",
+    "perplexity_filter",
 ]
 
 
