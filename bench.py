@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "gram_containment",
     "perplexity_filter",
+    "cdc_span_overlap",
 ]
 
 

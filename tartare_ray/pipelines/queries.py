@@ -3612,6 +3612,81 @@ def cdc_token_dedup(sf_dir: str) -> ray.data.Dataset:
     return parts.groupby("fp").map_groups(survivor_group, batch_format="pyarrow")
 
 
+def cdc_span_overlap(
+    sf_dir: str, k: int = 8, max_gram_docs: int = 16
+) -> ray.data.Dataset:
+    """Token-level VERBATIM-SPAN detection over the committed flagship
+    table: pairs of live docs sharing at least one distinct run of
+    ``k`` consecutive tokens, with the shared-span count — the
+    contamination/quotation check a training pipeline runs on the
+    tokenized corpus itself (exact-dup detection catches only whole
+    sequences; this catches copied passages).  Spans seen in more than
+    ``max_gram_docs`` docs are stop-spans — uninformative and
+    quadratic — dropped on BOTH engines (the ``dedup_clusters``
+    convention).
+
+    Shape: one snapshot pass hashes token-``k``-grams per row
+    (``mix64`` per token is a bijection, so gram-hash equality ⇔
+    token-tuple equality w.h.p. — the int analogue of the
+    decontaminate string convention) and emits distinct (gram, doc)
+    rows; ONE gram-keyed exchange expands pairs partition-locally; the
+    pair count IS the shared-span count.  Tokens never leave the first
+    stage.  Value-checked against a DuckDB oracle that rebuilds the
+    final token state declaratively and joins STRING spans."""
+    from ..functions.hashing import mix64, shingle_hashes
+
+    eng = run_flagship(sf_dir)
+    ds = eng.snapshot_dataset(columns=["doc_id", "tokens"])
+
+    def grams(b: pa.Table, k=k) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(
+            toks.offsets.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        offsets = offsets - offsets[0]
+        flat = mix64(toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64))
+        sh, sho = shingle_hashes(flat, offsets, k=k)
+        lengths = np.diff(offsets)
+        counts = np.diff(sho)
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # docs shorter than k tokens emit NOTHING (shingle_hashes
+        # backfills token hashes there; the SQL gram list is empty —
+        # mask for parity, the gram_doc_batch rule)
+        keep_doc = np.repeat(lengths >= k, counts)
+        g = sh[keep_doc].view(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), counts)[keep_doc]
+        order = np.lexsort((g, idx))
+        g, idx = g[order], idx[order]
+        first = np.ones(len(g), bool)
+        if len(g):
+            first[1:] = (g[1:] != g[:-1]) | (idx[1:] != idx[:-1])
+        return pa.table(
+            {"gram": pa.array(g[first]), "doc_id": ids.take(pa.array(idx[first]))}
+        )
+
+    gram_rows = ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    return (
+        gram_rows.map_batches(
+            D.bucket_part_tag(["gram"], P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: D.bucket_pairs_partition(g, ["gram"], max_bucket=max_gram_docs),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .select_columns(["doc_a", "doc_b", "n_shared"])
+    )
+
+
 def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     """Incrementally-maintained dedup index (pipelines/dedup_index.py):
     the flagship table's change feed folds per epoch into fingerprint
@@ -4434,6 +4509,10 @@ QUERIES = {
     "train_val_split": train_val_split,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
+    # — round-4 second session: token-level verbatim-span pairs over
+    #   the committed snapshot (never driver-checked → in the window,
+    #   displacing hopping_window, green r3)
+    "cdc_span_overlap": cdc_span_overlap,
     "cdc_dedup_index": cdc_dedup_index,
     "cdc_export_shards": cdc_export_shards,
     "dedup_clusters": dedup_clusters,
@@ -4444,7 +4523,6 @@ QUERIES = {
     "cdc_minhash_index": cdc_minhash_index,
     "ann_pq_recall": ann_pq_recall,
     "paragraph_dedup": paragraph_dedup,
-    "hopping_window": hopping_window,
     # — round-4 second-session verdict upgrades (never driver-checked →
     #   inside the window): error-bound/recall verdicts that value-anchor
     #   the HLL sketch, the incremental DDSketch view and the minhash
@@ -4528,6 +4606,7 @@ QUERIES = {
     "left_outer_join": left_outer_join,
     "approx_count_distinct": approx_count_distinct,
     "corpus_shuffle": corpus_shuffle,
+    "hopping_window": hopping_window,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
     "lang_id": lang_id,
@@ -5865,6 +5944,44 @@ ORACLE_SQL = {
         SELECT min(doc_id) AS survivor, count(*) AS n_copies,
                CAST(len(t) AS BIGINT) AS n_tok
         FROM final GROUP BY t
+    """,
+    # Token-level verbatim spans over the declaratively-rebuilt final
+    # state: STRING 8-token spans, stop-span window 2..16 on both
+    # engines (the dedup_clusters convention).
+    "cdc_span_overlap": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gs
+            FROM final WHERE len(t) >= 8
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g
+        ), kept AS (
+            SELECT gram FROM e GROUP BY gram HAVING count(*) BETWEEN 2 AND 16
+        ), ek AS (
+            SELECT e.doc_id, e.gram FROM e JOIN kept USING (gram)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM ek a JOIN ek b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """,
     # The INDEX-served live group census must equal grouping the
     # rebuilt final state by the token array itself: same CTE as
