@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "gram_containment",
     "perplexity_filter",
     "cdc_span_overlap",
+    "kmeans_assign",
+    "embedding_kmeans",
+    "quality_classifier",
+    "doc_fingerprint",
 ]
 
 

@@ -102,6 +102,33 @@ def word_polyhash_lists(
     return poly_hash_words(vals), offsets
 
 
+ROLL_MOD = 1_000_000_007  # Horner modulus: a*31 + b stays < 2^35, BIGINT-safe
+
+
+def rolling_poly_hash(
+    flat: np.ndarray, offsets: np.ndarray, mult: int = 31, mod: int = ROLL_MOD
+) -> np.ndarray:
+    """Order-sensitive per-document Horner fold over a flattened int64
+    stream: ``h = (h*mult + v) % mod``, seed 0 — the SQL-reproducible
+    sibling of ``hashing.rolling_fingerprint`` (DuckDB:
+    ``list_reduce(list_prepend(0, vs), (a, b) -> (a*31 + b) % mod)``).
+    Vectorized as O(max doc length) masked passes, like
+    ``poly_hash_words`` — no Python loop over documents."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
+    h = np.zeros(n, dtype=np.int64)
+    if n == 0 or len(flat) == 0:
+        return h
+    starts = offsets[:-1]
+    for j in range(int(lens.max())):
+        m = lens > j
+        if not m.any():
+            break
+        h[m] = (h[m] * mult + flat[starts[m] + j]) % mod
+    return h
+
+
 def segment_member_counts(
     flat_values: np.ndarray, offsets: np.ndarray, vocab: frozenset[str]
 ) -> np.ndarray:

@@ -1181,8 +1181,33 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Order-sensitive document fingerprint (Horner fold over per-word
+    polynomial hashes, mod 1e9+7) — upgraded in round 4 from the keyed
+    SipHash rolling hash to the SQL-reproducible sibling so the driver
+    gets a FULL value oracle (nested ``list_reduce`` recomputes it);
+    the keyed 64-bit ``fingerprint_batch`` stays the internal scale
+    path for adversary-safe exact dedup."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        TX.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+        TX.fingerprint_poly_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_classifier(sf_dir: str) -> ray.data.Dataset:
+    """Classifier-scoring stage: a hashed-bag-of-words linear model
+    (fastText-shaped) whose integer weight table is broadcast once via
+    ``ray.put`` and fetched per actor in ``__init__`` — the canonical
+    'load a checkpoint, score every batch' pipeline step.  Integer
+    weights make the document score exact BIGINT arithmetic, so the
+    driver gets a full value oracle (DuckDB recomputes hash → bucket →
+    weight → sum to the last bit) — unlike a float model where only a
+    verdict would be checkable."""
+    wref = ray.put(TX.quality_weights())
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TX.QualityScoreStage,
+        fn_constructor_kwargs=dict(weights_ref=wref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
     )
 
 
@@ -2758,6 +2783,78 @@ def text_embed(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _seed_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic k-means seeds: the embeddings of vec_id < k via a
+    footer-stats pruned predicate read (same bounded driver read as
+    ``_query_table``) — the SQL oracle selects the same rows, so both
+    engines start Lloyd from IDENTICAL float32-exact centroids."""
+    sub = _query_table(sf_dir, k)
+    order = np.argsort(sub["vec_id"].to_numpy(zero_copy_only=False))
+    return S.embedding_matrix(sub)[order]
+
+
+def kmeans_assign(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """Nearest-centroid labeling of the full embedding corpus against
+    k broadcast seed centroids (squared-L2 argmin, lowest-id
+    tie-break) — the embedding-clustering primitive under corpus
+    bucketing / topic balancing.  One streaming pass; only (vec_id,
+    cluster) int64 labels leave the stage.  Value-oracled: DuckDB
+    recomputes the argmin over the same seed rows with
+    ``list_distance`` on DOUBLE[]."""
+    cref = ray.put(_seed_centroids(sf_dir, k))
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.KMeansAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2) -> pa.Table:
+    """Distributed Lloyd k-means over the embedding corpus: ``iters``
+    full passes, each ONE ``map_batches`` emitting ≤ k partial
+    (sum, count) rows per block (combiner shape — no shuffle, corpus
+    never materializes), means folded on the driver (O(k × dim)) and
+    re-broadcast.  Centroid means are quantized to 6 dp each round so
+    both engines' next argmin sees identical inputs.  Output: final
+    per-cluster sizes + 4-dp centroid sums.  Value-oracled against a
+    DuckDB rebuild that unrolls the same two Lloyd rounds
+    declaratively (element-wise AVG via list indexing ×
+    ``range(1, dim+1)``)."""
+    seeds = _seed_centroids(sf_dir, k)
+    c = S.kmeans_lloyd(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        seeds,
+        iters=iters,
+    )
+    cref = ray.put(c)
+    counts = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            S.KMeansAssignStage,
+            fn_constructor_kwargs=dict(centroids_ref=cref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_conc(),
+        )
+        .groupby("cluster")
+        .aggregate(Count())
+        .take_all()
+    )  # O(k) rows
+    n_by = {int(r["cluster"]): int(r["count()"]) for r in counts}
+    ks = list(range(k))
+    return pa.table(
+        {
+            "cluster": pa.array(ks, pa.int64()),
+            "n": pa.array([n_by.get(j, 0) for j in ks], pa.int64()),
+            "centroid_sum": pa.array(
+                [round(float(np.sum(c[j])), 4) for j in ks], pa.float64()
+            ),
+        }
+    )
+
+
 def multimodal_meta(sf_dir: str) -> ray.data.Dataset:
     """Binary-payload plumbing: attach blob → actor-pool decode stub →
     typed metadata.  Small batch_size models large-payload memory
@@ -3028,6 +3125,43 @@ def cdc_pack_sequences(sf_dir: str, seq_len: int = 128) -> ray.data.Dataset:
         lambda b: pack_batch(b, seq_len=seq_len, eos=0),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def cdc_pack_check(sf_dir: str, seq_len: int = 128) -> pa.Table:
+    """Packing conservation verdict (round-4 rows-only→oracle upgrade,
+    the ``approx_distinct_check`` shape): packs the committed snapshot
+    with PAD enabled — so block-local packing is exactly
+    token-conserving: non-pad tokens out == tokens in + one EOS per
+    document — and emits the totals plus booleans DuckDB anchors
+    against the declaratively rebuilt final state.  A packer that
+    drops, duplicates or mis-splits tokens breaks the value hash.
+    ``cdc_pack_sequences`` stays the drop-tail product surface."""
+    from ..stages.pack import pack_batch
+
+    eng = run_flagship(sf_dir)
+    packed = eng.snapshot_dataset(columns=["tokens"]).map_batches(
+        lambda b: pack_batch(b, seq_len=seq_len, eos=0, pad=-1),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = packed.aggregate(Sum("n_tok"), Count())  # O(1) driver rows
+    total_out = int(out["sum(n_tok)"])
+    n_rows = int(out["count()"])
+    snap = eng.snapshot_dataset(columns=["n_tok"]).aggregate(Sum("n_tok"), Count())
+    total_in = int(snap["sum(n_tok)"])
+    n_docs = int(snap["count()"])
+    return pa.table(
+        {
+            "seq_len": pa.array([seq_len], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens_in": pa.array([total_in], pa.int64()),
+            "total_tokens_out": pa.array([total_out], pa.int64()),
+            "conserved": pa.array([total_out == total_in + n_docs]),
+            "rows_lower_bound_ok": pa.array(
+                [n_rows >= -(-(total_in + n_docs) // seq_len)]
+            ),
+        }
     )
 
 
@@ -4544,11 +4678,17 @@ QUERIES = {
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_backfill": cdc_backfill,
-    "gopher_quality": gopher_quality,
-    "tf_idf_top_terms": tf_idf_top_terms,
-    "source_kl": source_kl,
-    "percent_rank_score": percent_rank_score,
-    "vocab_coverage": vocab_coverage,
+    # — round-4 third session: distributed Lloyd k-means + assignment,
+    #   packing-conservation verdict, exact-integer classifier scoring,
+    #   and doc_fingerprint upgraded in place to a SQL-reproducible
+    #   Horner fingerprint — never driver-value-checked → inside the
+    #   window, displacing gopher_quality / tf_idf_top_terms /
+    #   source_kl / percent_rank_score / vocab_coverage (all green r3)
+    "kmeans_assign": kmeans_assign,
+    "embedding_kmeans": embedding_kmeans,
+    "cdc_pack_check": cdc_pack_check,
+    "quality_classifier": quality_classifier,
+    "doc_fingerprint": doc_fingerprint,
     # — remaining never-driver-checked entries (rows-only sketch/dedup
     #   ops) pulled inside the window; the displaced relational
     #   variants below (filter_project, grouped_quantile, grouped_agg,
@@ -4570,6 +4710,11 @@ QUERIES = {
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "filter_project": filter_project,
+    "gopher_quality": gopher_quality,
+    "tf_idf_top_terms": tf_idf_top_terms,
+    "source_kl": source_kl,
+    "percent_rank_score": percent_rank_score,
+    "vocab_coverage": vocab_coverage,
     "funnel_depth": funnel_depth,
     "heavy_hitters": heavy_hitters,
     "pii_scrub": pii_scrub,
@@ -4610,7 +4755,6 @@ QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
     "lang_id": lang_id,
-    "doc_fingerprint": doc_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "date_histogram": date_histogram,
     "lead_lag": lead_lag,
@@ -6010,7 +6154,149 @@ ORACLE_SQL = {
         SELECT min(doc_id) AS survivor, count(*) AS n_copies
         FROM final GROUP BY t
     """,
-    # lang_id / doc_fingerprint / minhash_lsh_dedup / simhash_dedup /
+    "doc_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> list_reduce(
+                                  list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(
+                                          list_filter(string_split(w, ''),
+                                                      c -> c <> ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                                  (a, b) -> (a * 31 + b) % 50257))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+    "quality_classifier": """
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(
+                                      list_filter(string_split(w, ''),
+                                                  c -> c <> ''),
+                                      c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(h) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(h,
+                   x -> ((x % 65536) + 1) * 2654435761 % 2000001 - 1000000)),
+                   0) AS BIGINT) AS score,
+               coalesce(list_sum(list_transform(h,
+                   x -> ((x % 65536) + 1) * 2654435761 % 2000001 - 1000000)),
+                   0) > 0 AS keep
+        FROM hs
+    """,
+    "kmeans_assign": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+        )
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, s.cv) ASC,
+                                               s.cid ASC) AS rn
+            FROM e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    """,
+    "embedding_kmeans": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+        ), a1 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, s.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, s.cv) ASC,
+                                                   s.cid ASC) AS rn
+                FROM e CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), g1 AS (
+            SELECT s.cid, t.i AS pos, s.cv[t.i] AS prev
+            FROM seeds s CROSS JOIN range(1, 65) t(i)
+        ), m1 AS (
+            SELECT g.cid, g.pos,
+                   round(coalesce(avg(a.v[g.pos]), g.prev), 6) AS mv
+            FROM g1 g LEFT JOIN a1 a ON a.cid = g.cid
+            GROUP BY g.cid, g.pos, g.prev
+        ), c1 AS (
+            SELECT cid, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cid
+        ), a2 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c.cv) ASC,
+                                               c.cid ASC) AS rn
+                FROM e CROSS JOIN c1 c
+            ) WHERE rn = 1
+        ), g2 AS (
+            SELECT c.cid, t.i AS pos, c.cv[t.i] AS prev
+            FROM c1 c CROSS JOIN range(1, 65) t(i)
+        ), m2 AS (
+            SELECT g.cid, g.pos,
+                   round(coalesce(avg(a.v[g.pos]), g.prev), 6) AS mv
+            FROM g2 g LEFT JOIN a2 a ON a.cid = g.cid
+            GROUP BY g.cid, g.pos, g.prev
+        ), c2 AS (
+            SELECT cid, list(mv ORDER BY pos) AS cv FROM m2 GROUP BY cid
+        ), a3 AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY list_distance(e.v, c.cv) ASC,
+                                               c.cid ASC) AS rn
+                FROM e CROSS JOIN c2 c
+            ) WHERE rn = 1
+        ), cnt AS (
+            SELECT cid, count(*) AS n FROM a3 GROUP BY cid
+        ), cs AS (
+            SELECT cid, round(sum(mv), 4) AS centroid_sum FROM m2 GROUP BY cid
+        )
+        SELECT s.cid AS cluster,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+               cs.centroid_sum
+        FROM seeds s
+        LEFT JOIN cnt ON cnt.cid = s.cid
+        JOIN cs ON cs.cid = s.cid
+    """,
+    "cdc_pack_check": """
+        WITH tok0 AS (
+            SELECT doc_id, source,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        )
+        SELECT CAST(128 AS BIGINT) AS seq_len,
+               count(*) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS total_tokens_in,
+               CAST(sum(len(t)) + count(*) AS BIGINT) AS total_tokens_out,
+               TRUE AS conserved,
+               TRUE AS rows_lower_bound_ok
+        FROM final
+    """,
+    # lang_id / minhash_lsh_dedup / simhash_dedup /
     # ngram_jaccard_pairs / ann_lsh_pairs / bpe_encode /
     # cdc_{schema_evolution,pack_sequences,export_shards}
     # are not SQL-expressible (heuristic scoring, hash-family-specific

@@ -524,3 +524,93 @@ class TextEmbedStage:
                 "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
             }
         )
+
+
+# --- distributed Lloyd k-means ----------------------------------------------
+
+
+def assign_clusters(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared-L2 argmin assignment, float64, ties to the lowest
+    cluster id (numpy argmin semantics == the SQL oracle's
+    ``ORDER BY dist ASC, cid ASC`` row_number pick).  Distances via the
+    explicit diff-square-sum so both engines fold the same dim-order
+    float64 stream (matches DuckDB ``list_distance`` on DOUBLE[] up to
+    summation-order ulps — sub-rounding for non-degenerate data)."""
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1).astype(np.int64)
+
+
+class KMeansAssignStage:
+    """Nearest-centroid labeling against a broadcast centroid matrix —
+    the 'apply a small model per batch' stage: centroids fetched ONCE
+    per actor in ``__init__``, each ``__call__`` one vectorized
+    distance computation.  k × dim floats is the only shared state; at
+    100 TB nothing else moves besides the (vec_id, cluster) labels."""
+
+    def __init__(self, centroids_ref):
+        self.c = ray.get(centroids_ref).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch)
+        a = assign_clusters(x, self.c)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(a, pa.int64()),
+            }
+        )
+
+
+def kmeans_lloyd(
+    ds_factory,
+    centroids: np.ndarray,
+    iters: int = 2,
+    quantize: int = 6,
+) -> np.ndarray:
+    """Distributed Lloyd iterations: each pass is ONE ``map_batches``
+    emitting per-batch per-cluster partial sums/counts (≤ k rows per
+    block — the combiner shape; no shuffle, no corpus materialization),
+    folded on the driver into new means.  Centroids are re-broadcast
+    per iteration (k × dim floats).  Means are quantized to ``quantize``
+    decimals so the next iteration's argmin sees IDENTICAL inputs on
+    both engines (the SQL oracle rounds the same way) — the float64
+    fold itself differs only in summation order, absorbed by rounding.
+    Empty clusters keep their previous centroid (mirrored in the SQL
+    oracle via a left join back to the seed)."""
+    c = centroids.astype(np.float64)
+    k, dim = c.shape
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(c_ref)
+            x = embedding_matrix(batch)
+            a = assign_clusters(x, cc)
+            ids = np.unique(a)
+            sums = np.zeros((len(ids), x.shape[1]), dtype=np.float64)
+            cnts = np.zeros(len(ids), dtype=np.int64)
+            for j, cid in enumerate(ids):  # ≤ k iterations, not per row
+                sel = a == cid
+                sums[j] = x[sel].sum(axis=0)
+                cnts[j] = int(sel.sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(ids, pa.int64()),
+                    "n": pa.array(cnts, pa.int64()),
+                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds_factory().map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # O(k × n_blocks) combiner rows — never the corpus
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[int(r["cluster"])] += np.asarray(r["vec_sum"], dtype=np.float64)
+            cnts[int(r["cluster"])] += int(r["n"])
+        nonempty = cnts > 0
+        c = c.copy()
+        c[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        c = np.round(c, quantize)
+    return c

@@ -119,6 +119,74 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def fingerprint_poly_batch(batch: pa.Table) -> pa.Table:
+    """SQL-reproducible order-sensitive document fingerprint: Horner
+    fold (mod 1e9+7) over the per-word polynomial hashes — the
+    declarative sibling of ``fingerprint_batch`` (which keys on SipHash
+    and stays the internal scale path: keyed, 64-bit, adversary-safe).
+    An independent engine recomputes this one exactly (DuckDB nested
+    ``list_reduce``), so the operator carries a full value oracle."""
+    wh, offsets = T.word_polyhash_lists(batch["text"])
+    fp = T.rolling_poly_hash(wh, offsets)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fp, type=pa.int64()),
+        }
+    )
+
+
+# --- hashed linear quality model -------------------------------------------
+# Deterministic "model checkpoint" for the classifier-scoring stage:
+# integer weights per hash bucket (Knuth multiplicative mix), so the
+# score is exact BIGINT arithmetic — no float drift between engines.
+QUALITY_BUCKETS = 65536
+QUALITY_MIX = 2654435761  # Knuth's 2^32 / phi multiplier (public constant)
+QUALITY_SPAN = 2_000_001  # weights in [-1e6, 1e6]
+
+
+def quality_weights(n_buckets: int = QUALITY_BUCKETS) -> np.ndarray:
+    """The deterministic weight table: w[b] = ((b+1)*MIX) % SPAN - 1e6.
+    Stands in for a trained fastText-style linear classifier's weight
+    vector — the artifact a real pipeline would load from a checkpoint
+    and broadcast once via ``ray.put``."""
+    b = np.arange(1, n_buckets + 1, dtype=np.int64)
+    return (b * QUALITY_MIX) % QUALITY_SPAN - (QUALITY_SPAN - 1) // 2
+
+
+class QualityScoreStage:
+    """Hashed-bag-of-words linear scorer — the canonical 'small model
+    inference' stage shape: the weight table is broadcast once
+    (``ray.put``) and fetched ONCE per actor in ``__init__``;
+    ``__call__`` scores a batch fully vectorized (word poly-hash →
+    bucket → weight gather → segment sum).  Integer weights make the
+    score exact, so DuckDB recomputes it to the last bit."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self.w = ray.get(weights_ref)
+        self.n_buckets = len(self.w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, offsets = T.word_polyhash_lists(batch["text"])
+        contrib = self.w[wh % self.n_buckets]
+        n_docs = len(offsets) - 1
+        lens = np.diff(offsets)
+        score = np.zeros(n_docs, dtype=np.int64)
+        nonempty = lens > 0
+        if len(contrib):
+            score[nonempty] = np.add.reduceat(contrib, offsets[:-1][nonempty])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(lens, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "keep": pa.array(score > 0),
+            }
+        )
+
+
 # GPT-2-style pre-tokenizer pattern, RE2-compatible (pyarrow and DuckDB
 # both run RE2, so counts agree exactly — the basis of the SQL oracle).
 BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"

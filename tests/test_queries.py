@@ -62,7 +62,6 @@ def test_rows_only_queries_run(ray_session):
 
     expected_cols = {
         "lang_id": ["doc_id", "pred_lang", "lang_score"],
-        "doc_fingerprint": ["doc_id", "fingerprint"],
         "minhash_lsh_dedup": ["doc_a", "doc_b", "est_jaccard"],
         "simhash_dedup": ["doc_a", "doc_b", "hamming"],
         "ngram_jaccard_pairs": ["doc_a", "doc_b", "jaccard"],
