@@ -4603,6 +4603,102 @@ def textrank_words(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def simhash_check(sf_dir: str, bits: int = 16) -> ray.data.Dataset:
+    """SQL-reproducible SimHash (round-4: value-anchors the simhash
+    family, whose keyed-hash product surface ``simhash_dedup`` stays
+    rows-only by design).  Per doc: every word's polynomial hash
+    (functions/text.py::poly_hash_words — the house SQL-recomputable
+    word hash) is spread through a Knuth multiplicative mix
+    ``((h+1) * 2654435761) % 2^32`` (the raw poly hash concentrates in
+    low bits; the mix is BIGINT-safe so DuckDB replays it exactly),
+    then the classic Charikar bit-vote: each of ``bits`` bit positions
+    sums ±1 over all word occurrences and the sign becomes the output
+    bit.  One streaming pass, no shuffle, vectorized as ``bits``
+    reduceats per batch; the driver value-checks every 16-bit
+    signature against DuckDB's bit-by-bit recomputation."""
+
+    def fn(b: pa.Table, bits=bits) -> pa.Table:
+        h, offs = FT.word_polyhash_lists(b["text"])
+        m = ((h.astype(np.uint64) + np.uint64(1)) * np.uint64(2654435761)) % np.uint64(
+            1 << 32
+        )
+        n = len(b)
+        sim = np.zeros(n, np.int64)
+        if len(m):
+            # word_lists yields >= 1 word per doc, so every reduceat
+            # segment is non-empty
+            for bit in range(bits):
+                pm = np.where((m >> np.uint64(bit)) & np.uint64(1), 1, -1).astype(
+                    np.int64
+                )
+                s = np.add.reduceat(pm, offs[:-1])
+                sim |= (s > 0).astype(np.int64) << bit
+        return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(sim)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cms_check(sf_dir: str, topn: int = 32) -> pa.Table:
+    """Count-Min sketch error-bound verdict (the ``approx_distinct_check``
+    shape for point frequencies): one shuffle-free streaming pass folds
+    every word-occurrence poly hash into per-block (depth × width)
+    partial grids that sum on the driver (CMS is linear; O(blocks) ×
+    256 KB of lineage-sized rows), and a second pre-aggregated pass
+    computes EXACT per-hash counts (block-local combine → one tiny
+    groupby over ≤ vocab rows).  For the ``topn`` most frequent word
+    hashes (count desc, hash asc — deterministic on both engines) the
+    output carries the exact count plus two verdicts the DuckDB oracle
+    expects literally TRUE: the CMS estimate never undercounts
+    (structural guarantee) and its excess is ≤ 4N/width (Markov bound
+    held with room by depth-4 min).  Estimator drift breaks the value
+    hash."""
+    from ..stages.sketch import CMS_WIDTH, cms_partial, cms_query
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        h, _ = FT.word_polyhash_lists(b["text"])
+        g = cms_partial(h)
+        return pa.table({"grid": pa.array([g.ravel().tolist()], pa.list_(pa.int64()))})
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        h, _ = FT.word_polyhash_lists(b["text"])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {"w_hash": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    docs = _read(sf_dir, "documents", ["text"])
+    grid = None
+    for r in docs.map_batches(
+        grid_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():  # O(blocks) sketch partials
+        g = np.asarray(r["grid"], dtype=np.int64)
+        grid = g if grid is None else grid + g
+    grid = grid.reshape(-1, CMS_WIDTH)
+    exact = pa.concat_tables(
+        docs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w_hash")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )  # <= vocab (50257) rows
+    wh = exact["w_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = exact["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(cnt.sum())
+    order = np.lexsort((wh, -cnt))[:topn]
+    wh, cnt = wh[order], cnt[order]
+    est = cms_query(grid, wh)
+    bound = max(1, -(-4 * total // CMS_WIDTH))
+    return pa.table(
+        {
+            "w_hash": pa.array(wh),
+            "true_count": pa.array(cnt),
+            "overestimates": pa.array(est >= cnt),
+            "within_bound": pa.array(est - cnt <= bound),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -4639,7 +4735,6 @@ QUERIES = {
     #   token-sequence dedup
     "token_rarity": token_rarity,
     "stratified_sample": stratified_sample,
-    "temperature_sample": temperature_sample,
     "train_val_split": train_val_split,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
@@ -4689,15 +4784,18 @@ QUERIES = {
     "cdc_pack_check": cdc_pack_check,
     "quality_classifier": quality_classifier,
     "doc_fingerprint": doc_fingerprint,
+    # — round-4 fourth session: SQL-anchored SimHash signatures and the
+    #   Count-Min point-frequency verdict — never driver-checked →
+    #   inside the window, displacing word_entropy / bigram_logprob /
+    #   curation_pipeline / temperature_sample (all green r3)
+    "simhash_check": simhash_check,
+    "cms_check": cms_check,
     # — remaining never-driver-checked entries (rows-only sketch/dedup
     #   ops) pulled inside the window; the displaced relational
     #   variants below (filter_project, grouped_quantile, grouped_agg,
     #   hash_join) were all green r1 AND r2
     "quantile_sketch": quantile_sketch,
     "minhash_cluster_dedup": minhash_cluster_dedup,
-    "word_entropy": word_entropy,
-    "bigram_logprob": bigram_logprob,
-    "curation_pipeline": curation_pipeline,
     # — round-4 additions (REAL PPM/BMP/WAV decode kernels): never
     #   driver-checked → inside the window, displacing three
     #   driver-green entries (filter_project r1+r2, grouped_quantile
@@ -4710,6 +4808,10 @@ QUERIES = {
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "filter_project": filter_project,
+    "word_entropy": word_entropy,
+    "bigram_logprob": bigram_logprob,
+    "curation_pipeline": curation_pipeline,
+    "temperature_sample": temperature_sample,
     "gopher_quality": gopher_quality,
     "tf_idf_top_terms": tf_idf_top_terms,
     "source_kl": source_kl,
@@ -6295,6 +6397,60 @@ ORACLE_SQL = {
                TRUE AS conserved,
                TRUE AS rows_lower_bound_ok
         FROM final
+    """,
+    # Bit-by-bit SimHash recomputation: same poly word hash, same
+    # Knuth mix, same ±1 bit votes — DuckDB rebuilds every 16-bit
+    # signature independently.
+    "simhash_check": """
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS h
+            FROM documents
+        ), mixed AS (
+            SELECT doc_id,
+                   list_transform(h, x -> ((x + 1) * 2654435761) % 4294967296) AS m
+            FROM hs
+        ), bits AS (
+            SELECT doc_id, b.bit AS bit,
+                   sum(CASE WHEN (m.x // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM mixed, unnest(m) AS m(x),
+                 (SELECT unnest(range(16)) AS bit) b
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    # Count-Min verdict: DuckDB recomputes the EXACT top-N word-hash
+    # counts (count desc, hash asc — the deterministic tie-break both
+    # engines use) and expects both sketch verdicts literally TRUE;
+    # an estimator that undercounts or blows its 4N/width band breaks
+    # the value hash.
+    "cms_check": """
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS h
+            FROM documents
+        ), occ AS (
+            SELECT unnest(h) AS w_hash FROM hs
+        ), cnt AS (
+            SELECT w_hash, count(*) AS true_count FROM occ GROUP BY w_hash
+        )
+        SELECT w_hash, true_count,
+               TRUE AS overestimates, TRUE AS within_bound
+        FROM cnt ORDER BY true_count DESC, w_hash ASC LIMIT 32
     """,
     # lang_id / minhash_lsh_dedup / simhash_dedup /
     # ngram_jaccard_pairs / ann_lsh_pairs / bpe_encode /

@@ -172,3 +172,52 @@ def grouped_quantile_sketch(
         return pa.table(out)
 
     return agg.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+
+# -- Count-Min sketch (Cormode & Muthukrishnan 2005) ------------------------
+#
+# Point-frequency sketch: a depth × width int64 grid; every occurrence
+# increments one counter per row (row-seeded 64-bit hash mod width),
+# and a point query reads the MIN across rows — always ≥ the true
+# count, and within ~N/width of it w.h.p.  The grid is LINEAR (merge =
+# element-wise sum), so the distributed shape is the HLL one: each
+# block folds its values into a partial grid, partials sum in any
+# order, and the driver holds depth × width × 8 bytes per merge — at
+# 10^10 rows the shuffle-free pass is the entire cost.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def cms_partial(
+    vals: np.ndarray, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> np.ndarray:
+    """Fold int64/uint64 values (one per OCCURRENCE) into a fresh
+    (depth, width) int64 grid — vectorized: one mix64 + one scatter-add
+    per row of the grid."""
+    from ..functions.hashing import mix64
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    if len(vals) == 0:
+        return grid
+    v = np.asarray(vals).astype(np.uint64)
+    for r in range(depth):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+        idx = mix64(v ^ seed) % np.uint64(width)
+        np.add.at(grid[r], idx.astype(np.int64), 1)
+    return grid
+
+
+def cms_query(
+    grid: np.ndarray, vals: np.ndarray, width: int = CMS_WIDTH
+) -> np.ndarray:
+    """Point estimates (min across rows) for each queried value."""
+    from ..functions.hashing import mix64
+
+    v = np.asarray(vals).astype(np.uint64)
+    est = np.full(len(v), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(grid.shape[0]):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+        idx = mix64(v ^ seed) % np.uint64(width)
+        est = np.minimum(est, grid[r][idx.astype(np.int64)])
+    return est
