@@ -175,6 +175,9 @@ class EpochDeltaIndex:
     #: (column name, arrow type) of the per-doc payload each subclass
     #: stores next to (doc_id, op, lsn)
     _payload = ("fp", pa.int64())
+    #: subclasses with MULTIPLE payload columns set this instead — a
+    #: tuple of (name, type) pairs (``_payload`` is then ignored)
+    _payload_cols: tuple = ()
 
     def _live_rows(self) -> "ray.data.Dataset":
         """(doc_id, <payload>) of the CURRENT live state: latest-LSN
@@ -189,14 +192,13 @@ class EpochDeltaIndex:
 
         from ..stages.kernels import hash_partition_ids, latest_per_key
 
-        name, typ = self._payload
+        cols = self._payload_cols or (self._payload,)
+        names = [n for n, _ in cols]
         files = self._delta_files()
         if not files:
-            return ray.data.from_arrow(
-                pa.table(
-                    {"doc_id": pa.array([], pa.string()), name: pa.array([], typ)}
-                )
-            )
+            empty = {"doc_id": pa.array([], pa.string())}
+            empty.update({n: pa.array([], t) for n, t in cols})
+            return ray.data.from_arrow(pa.table(empty))
         P = max(4, int(ray.cluster_resources().get("CPU", 4)))
 
         def pre(b: pa.Table) -> pa.Table:
@@ -206,10 +208,10 @@ class EpochDeltaIndex:
                 pa.array(hash_partition_ids(t["doc_id"], P).astype(np.int64)),
             )
 
-        def fold(g: pa.Table, name=name) -> pa.Table:
+        def fold(g: pa.Table, names=names) -> pa.Table:
             t = latest_per_key(g, "doc_id", "lsn")
             keep = pc.invert(pc.fill_null(pc.equal(t["op"], "D"), False))
-            return t.filter(keep).select(["doc_id", name])
+            return t.filter(keep).select(["doc_id", *names])
 
         return (
             ray.data.read_parquet(files)

@@ -3821,6 +3821,160 @@ def cdc_span_overlap(
     )
 
 
+def cdc_span_scrub(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """Verbatim-span SCRUB over the committed flagship table — the
+    transform counterpart of ``cdc_span_overlap``'s detector: every
+    run of ``k`` consecutive tokens that also appears in a
+    lexicographically-smaller live doc is removed from the later doc
+    (keep-first, the dedup convention), and the output reports each
+    doc's token count before/after the scrub — the "remove quoted
+    passages, keep the original" curation step run on the tokenized
+    corpus itself.
+
+    Shape: ONE snapshot pass emits per-doc base rows plus k-gram
+    occurrence rows ``(gram_hash, doc_id, pos)`` (mix64 per token →
+    shingle hash, so gram equality ⇔ token-tuple equality w.h.p.; the
+    DuckDB oracle groups the actual token-slice strings — identical
+    grouping, engine-independent); ONE gram-keyed exchange finds each
+    gram's min live doc partition-locally and emits only the scrubbed
+    occurrences; ONE doc-keyed exchange folds positions into
+    interval-union coverage (vectorized run masks — overlap of
+    adjacent spans counted once).  Tokens never leave the first stage;
+    both exchanges move fixed-width int rows.  Full value oracle:
+    (doc_id, n_tok, n_scrubbed, n_tok_after) per live doc."""
+    from ..functions.hashing import mix64, shingle_hashes
+
+    eng = run_flagship(sf_dir)
+    ds = eng.snapshot_dataset(columns=["doc_id", "tokens"])
+    P = max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+    def emit(b: pa.Table, k=k) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(
+            toks.offsets.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        offsets = offsets - offsets[0]
+        flat = mix64(toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64))
+        sh, sho = shingle_hashes(flat, offsets, k=k)
+        lengths = np.diff(offsets)
+        counts = np.diff(sho)
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # docs shorter than k emit no occurrences (shingle_hashes
+        # backfills word hashes there — the cdc_span_overlap mask)
+        keep = np.repeat(lengths >= k, counts)
+        g = sh[keep].view(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), counts)[keep]
+        pos = (
+            np.arange(len(sh), dtype=np.int64) - np.repeat(sho[:-1], counts)
+        )[keep]
+        base_kind = np.zeros(len(b), np.int8)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([base_kind, np.ones(len(g), np.int8)])
+                ),
+                "doc_id": pa.concat_arrays(
+                    [ids.cast(pa.string()), ids.take(pa.array(idx))]
+                ),
+                "g": pa.array(np.concatenate([np.zeros(len(b), np.int64), g])),
+                "v": pa.array(np.concatenate([lengths, pos])),
+            }
+        )
+
+    mixed = ds.map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # O(total k-grams) int rows; spills, never collected
+    base = mixed.filter(expr="kind == 0").select_columns(["doc_id", "v"])
+
+    def scrubbed(grp: pa.Table) -> pa.Table:
+        t = grp.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+        gv = t["g"].to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(gv) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.string()), "v": pa.array([], pa.int64())}
+            )
+        first = np.r_[True, gv[1:] != gv[:-1]]
+        run_id = np.cumsum(first) - 1
+        min_doc = docs[np.flatnonzero(first)][run_id]
+        keep = docs != min_doc
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(keep)),
+                         "v": t["v"].filter(pa.array(keep))})
+
+    scrub = (
+        mixed.filter(expr="kind == 1")
+        .map_batches(
+            D.bucket_part_tag(["g"], P), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(scrubbed, batch_format="pyarrow")
+    )
+
+    def cover(grp: pa.Table, k=k) -> pa.Table:
+        t = grp.sort_by(
+            [("doc_id", "ascending"), ("kind", "ascending"), ("v", "ascending")]
+        )
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        n_tok = np.zeros(len(uniq), np.int64)
+        bm = kind == 0
+        n_tok[inv[bm]] = v[bm]
+        cov = np.zeros(len(uniq), np.int64)
+        sm = kind == 1
+        di, pv = inv[sm], v[sm]
+        if di.size:
+            nxt_same = np.zeros(di.size, bool)
+            nxt_same[:-1] = di[1:] == di[:-1]
+            contrib = np.full(di.size, k, np.int64)
+            gaps = np.empty(di.size, np.int64)
+            gaps[:-1] = pv[1:] - pv[:-1]
+            gaps[-1] = k
+            contrib[nxt_same] = np.minimum(k, gaps[nxt_same])
+            np.add.at(cov, di, contrib)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq.astype(object), pa.string()),
+                "n_tok": pa.array(n_tok),
+                "n_scrubbed": pa.array(cov),
+                "n_tok_after": pa.array(n_tok - cov),
+            }
+        )
+
+    def tag_kind(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "kind": pa.array(np.full(len(b), kind, np.int8)),
+                    "v": b["v"],
+                }
+            )
+
+        return fn
+
+    return (
+        base.map_batches(tag_kind(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            scrub.map_batches(
+                tag_kind(1), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .map_batches(
+            D.bucket_part_tag(["doc_id"], P),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(cover, batch_format="pyarrow")
+    )
+
+
 def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     """Incrementally-maintained dedup index (pipelines/dedup_index.py):
     the flagship table's change feed folds per epoch into fingerprint
@@ -4734,7 +4888,6 @@ QUERIES = {
     # — new this round (tokens axis): real BPE, corpus-stats scoring,
     #   token-sequence dedup
     "token_rarity": token_rarity,
-    "stratified_sample": stratified_sample,
     "train_val_split": train_val_split,
     "bpe_encode": bpe_encode,
     "cdc_token_dedup": cdc_token_dedup,
@@ -4790,6 +4943,11 @@ QUERIES = {
     #   curation_pipeline / temperature_sample (all green r3)
     "simhash_check": simhash_check,
     "cms_check": cms_check,
+    # — round-4 fourth session: verbatim-span scrub (the transform
+    #   counterpart of cdc_span_overlap's detector) — never
+    #   driver-checked → inside the window, displacing stratified_sample
+    #   (green r3)
+    "cdc_span_scrub": cdc_span_scrub,
     # — remaining never-driver-checked entries (rows-only sketch/dedup
     #   ops) pulled inside the window; the displaced relational
     #   variants below (filter_project, grouped_quantile, grouped_agg,
@@ -4812,6 +4970,7 @@ QUERIES = {
     "bigram_logprob": bigram_logprob,
     "curation_pipeline": curation_pipeline,
     "temperature_sample": temperature_sample,
+    "stratified_sample": stratified_sample,
     "gopher_quality": gopher_quality,
     "tf_idf_top_terms": tf_idf_top_terms,
     "source_kl": source_kl,
@@ -6397,6 +6556,49 @@ ORACLE_SQL = {
                TRUE AS conserved,
                TRUE AS rows_lower_bound_ok
         FROM final
+    """,
+    # Span scrub: DuckDB rebuilds the final token state, enumerates
+    # k-gram occurrences as STRING slices (the engine's 64-bit gram
+    # hashes group identically w.h.p.), finds each gram's min live
+    # doc, and counts DISTINCT covered positions per later doc — the
+    # interval-union coverage the engine computes with run masks.
+    "cdc_span_scrub": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        ), g AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS i,
+                   array_to_string(list_slice(t, i, i + 7), ' ') AS gk
+            FROM final, unnest(range(1, len(t) - 6)) AS r(i)
+            WHERE len(t) >= 8
+        ), mins AS (
+            SELECT gk, min(doc_id) AS d0 FROM g GROUP BY gk
+        ), scr AS (
+            SELECT g.doc_id, g.i FROM g JOIN mins USING (gk)
+            WHERE g.doc_id > mins.d0
+        ), cov AS (
+            SELECT doc_id, count(DISTINCT p) AS n_scrubbed
+            FROM scr, unnest(range(i, i + 8)) AS u(p)
+            GROUP BY doc_id
+        )
+        SELECT f.doc_id, len(f.t) AS n_tok,
+               CAST(coalesce(c.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+               len(f.t) - CAST(coalesce(c.n_scrubbed, 0) AS BIGINT) AS n_tok_after
+        FROM final f LEFT JOIN cov c USING (doc_id)
     """,
     # Bit-by-bit SimHash recomputation: same poly word hash, same
     # Knuth mix, same ±1 bit votes — DuckDB rebuilds every 16-bit
