@@ -3975,6 +3975,49 @@ def cdc_span_scrub(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     )
 
 
+def cdc_inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Incrementally-maintained INVERTED INDEX
+    (pipelines/inverted_index.py): the flagship table's change feed
+    folds per epoch into per-doc postings deltas — (doc_id, distinct
+    terms, in-doc frequencies) — via consumer cursors (exactly-once,
+    rollback-aware), and corpus term statistics are served FROM THE
+    INDEX: the snapshot's token lists are never rescanned, and the
+    term-stats query reads O(distinct terms per doc), not O(token
+    occurrences).  Returns (term, df, tf_total) per live token id,
+    which a declarative DuckDB oracle reproduces by rebuilding the
+    final token state and grouping occurrences — so the driver
+    value-checks the index's live postings.  Incremental update,
+    delete, and idempotence semantics are pytest-asserted
+    (tests/test_inverted_index.py)."""
+    from .inverted_index import InvertedIndex
+
+    eng = run_flagship(sf_dir)
+    idx = InvertedIndex(eng)
+    idx.update()
+    return idx.term_stats()
+
+
+def cdc_index_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """Bag-of-words search served from the incremental inverted index:
+    top-k docs by summed term frequency over a fixed 3-word query
+    (ties broken by ascending doc_id).  The postings explode prunes to
+    the query terms at the source, per-doc partials fold block-locally,
+    ONE doc-hash exchange moves (doc_id, score) int rows, each
+    partition emits its own top-k and the driver merges P·k candidate
+    rows — the corpus text/token lists are never read at query time.
+    The DuckDB oracle hashes the same query words with the same
+    polynomial tokenizer and recomputes the scores from the rebuilt
+    final state."""
+    from ..functions.text import poly_hash_words
+    from .inverted_index import InvertedIndex
+
+    eng = run_flagship(sf_dir)
+    idx = InvertedIndex(eng)
+    idx.update()
+    terms = poly_hash_words(np.array(["merge", "join", "stream"])).tolist()
+    return idx.search(terms, k=k)
+
+
 def cdc_dedup_index(sf_dir: str) -> ray.data.Dataset:
     """Incrementally-maintained dedup index (pipelines/dedup_index.py):
     the flagship table's change feed folds per epoch into fingerprint
@@ -4960,6 +5003,12 @@ QUERIES = {
     #   r1+r2, full_outer_join r3)
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
+    # — round-4 fifth session: incremental inverted index (term stats +
+    #   bag-of-words search served from the index, full SQL oracles) —
+    #   never driver-checked → inside the window, displacing
+    #   grouped_agg / hash_join (green r1+r2)
+    "cdc_inverted_index": cdc_inverted_index,
+    "cdc_index_search": cdc_index_search,
     # — past the driver window: entries already green under the driver
     #   in r1/r2/r3 (relational variants) or rows-only with exact
     #   pytest oracles
@@ -6599,6 +6648,75 @@ ORACLE_SQL = {
                CAST(coalesce(c.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
                len(f.t) - CAST(coalesce(c.n_scrubbed, 0) AS BIGINT) AS n_tok_after
         FROM final f LEFT JOIN cov c USING (doc_id)
+    """,
+    # Inverted index: DuckDB rebuilds the final token state, counts
+    # per-(doc, term) occurrences, and aggregates df / tf_total per
+    # term — the live postings the index serves without a snapshot
+    # rescan.
+    "cdc_inverted_index": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        ), g AS (
+            SELECT doc_id, CAST(x AS BIGINT) AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS x FROM final)
+            GROUP BY doc_id, x
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf_total
+        FROM g GROUP BY term
+    """,
+    # Index search: the SAME polynomial tokenizer hashes the literal
+    # query words, and scores are recomputed from the rebuilt final
+    # state — top-k with the engine's (score DESC, doc_id ASC)
+    # tie-break.
+    "cdc_index_search": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN
+                       list_transform(list_append(t, 50256),
+                           x -> x + CASE WHEN doc_id % 10 = 0
+                                         THEN 4294967296 ELSE 0 END)
+                   ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        ), q AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                          c -> CAST(unicode(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 50257) AS term
+            FROM (SELECT unnest(['merge', 'join', 'stream']) AS w)
+        ), g AS (
+            SELECT doc_id, CAST(x AS BIGINT) AS term
+            FROM (SELECT doc_id, unnest(t) AS x FROM final)
+        )
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS score
+        FROM g JOIN q USING (term)
+        GROUP BY g.doc_id
+        ORDER BY score DESC, g.doc_id ASC LIMIT 20
     """,
     # Bit-by-bit SimHash recomputation: same poly word hash, same
     # Knuth mix, same ±1 bit votes — DuckDB rebuilds every 16-bit
