@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "quality_classifier",
     "doc_fingerprint",
+    "cdc_span_scrub",
+    "cdc_inverted_index",
+    "cdc_index_search",
 ]
 
 
