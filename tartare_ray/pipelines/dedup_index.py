@@ -13,6 +13,17 @@ index I/O is O(Σ epoch winners × ~40 bytes), the dedup query I/O is
 O(index), and the 100 TB corpus is touched exactly once per row's
 lifetime.
 
+Index read I/O stays bounded as epochs accumulate: ``compact()`` folds
+the acked delta directories (plus any previous base) into ONE
+consolidated ``base-e{N}`` directory — delta-shaped rows carrying
+their winning (op, lsn), so readers treat the base as just another
+delta — and drops the covered dirs.  A rollback below the base epoch
+invalidates it (the target's lineage identity no longer matches);
+``update()`` then re-derives the base from the TABLE SNAPSHOT at the
+rollback target (time travel, rows stamped with the target's
+watermark LSN) — one full corpus read, paid only on
+rollback-past-compaction.
+
 Exactly-once by the same composition as ``pipelines/replica.py``:
 - delta persistence is write-to-tmp + directory rename keyed by the
   source epoch (a crashed/retried update rewrites the same directory);
@@ -79,38 +90,50 @@ class EpochDeltaIndex:
     def _delta_rows(b: pa.Table) -> pa.Table:
         raise NotImplementedError
 
-    def _write_epoch(self, epoch: int, ds: ray.data.Dataset) -> None:
-        """Distributed delta write: each feed block folds to delta rows
-        and writes its own content-hash-named file into the epoch's
-        tmp dir — the DRIVER never materializes the feed (it only
-        renames the directory).  A retried/crashed attempt starts from
-        a cleared tmp dir and rewrites the same bytes."""
-        final = self._epoch_dir(epoch)
-        tmp = final + ".inprogress"
+    def _write_rows_dir(self, tmp: str, ds: "ray.data.Dataset", rows_fn) -> int:
+        """Distributed delta-shaped write: each block maps through
+        ``rows_fn`` and writes its own content-hash-named file into
+        ``tmp`` — the DRIVER never materializes the data (it only
+        renames the directory afterwards).  A retried/crashed attempt
+        starts from a cleared tmp dir and rewrites the same bytes.
+        Filenames hash doc_id+lsn bytes (doc sets are disjoint across
+        blocks, so names are collision-free even when every row shares
+        one lsn, as in a snapshot rebuild)."""
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        rows_fn = type(self)._delta_rows
 
         def write_block(b: pa.Table) -> pa.Table:
             import hashlib
 
             rows = rows_fn(b)
             if len(rows):
-                sig = hashlib.blake2b(
-                    rows["lsn"].to_numpy(zero_copy_only=False).tobytes(),
-                    digest_size=8,
-                ).hexdigest()
+                h = hashlib.blake2b(digest_size=8)
+                ids = rows["doc_id"]
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                h.update(ids.cast(pa.large_string()).buffers()[2] or b"")
+                h.update(rows["lsn"].to_numpy(zero_copy_only=False).tobytes())
                 pq.write_table(
-                    rows, os.path.join(tmp, f"delta-{sig}.parquet"), compression="zstd"
+                    rows,
+                    os.path.join(tmp, f"delta-{h.hexdigest()}.parquet"),
+                    compression="zstd",
                 )
             return pa.table({"rows": pa.array([len(rows)], pa.int64())})
 
-        n = sum(
-            r["rows"]
-            for r in ds.map_batches(
-                write_block, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all()
+        return int(
+            sum(
+                r["rows"]
+                for r in ds.map_batches(
+                    write_block, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            )
         )  # O(blocks) lineage rows
+
+    def _write_epoch(self, epoch: int, ds: ray.data.Dataset) -> None:
+        """Per-epoch delta directory: see ``_write_rows_dir``."""
+        final = self._epoch_dir(epoch)
+        tmp = final + ".inprogress"
+        n = self._write_rows_dir(tmp, ds, type(self)._delta_rows)
         m = load_epoch(self.engine.table_root, epoch)
         with open(os.path.join(tmp, "_source.json"), "w") as f:
             json.dump(
@@ -125,6 +148,129 @@ class EpochDeltaIndex:
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
 
+    # -- base (compacted) state ----------------------------------------------
+    def _base_dir(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"base-e{epoch:06d}")
+
+    def _base_epochs(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            int(n[6:12])
+            for n in os.listdir(self.dir)
+            if n.startswith("base-e") and not n.endswith(".inprogress")
+        )
+
+    def _base_valid(self, epoch: int, cursor: int) -> bool:
+        """A base is serveable iff its source epoch is still committed,
+        at or below the acked cursor (nothing above the cursor was ever
+        folded in), and its recorded lineage identity still matches —
+        a rollback below the base epoch deletes that epoch's manifest,
+        which fails the identity check and triggers a snapshot
+        rebuild."""
+        if epoch > cursor:
+            return False
+        p = os.path.join(self._base_dir(epoch), "_source.json")
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            d = json.load(f)
+        try:
+            m = load_epoch(self.engine.table_root, epoch)
+        except (FileNotFoundError, LookupError, KeyError):
+            return False
+        return d.get("identity") == _epoch_identity(m)
+
+    def _current_base(self, cursor: int) -> int | None:
+        committed = set(list_committed_epochs(self.engine.table_root))
+        best = None
+        for e in self._base_epochs():
+            if e in committed and self._base_valid(e, cursor):
+                best = e
+        return best
+
+    def _write_base(self, epoch: int, ds: "ray.data.Dataset") -> None:
+        final = self._base_dir(epoch)
+        tmp = final + ".inprogress"
+        n = self._write_rows_dir(tmp, ds, lambda b: b)
+        m = load_epoch(self.engine.table_root, epoch)
+        with open(os.path.join(tmp, "_source.json"), "w") as f:
+            json.dump(
+                {"epoch": epoch, "identity": _epoch_identity(m), "rows": int(n)}, f
+            )
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    def _drop_covered(self, up_to: int) -> None:
+        """Remove per-epoch delta dirs and older bases now folded into
+        the base at ``up_to`` (safe after the base rename: readers pick
+        the newest valid base and skip dirs at or below its epoch)."""
+        for n in os.listdir(self.dir):
+            if n.startswith("fp-e") and not n.endswith(".inprogress"):
+                if int(n[4:10]) <= up_to:
+                    shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+            elif n.startswith("base-e") and not n.endswith(".inprogress"):
+                if int(n[6:12]) < up_to:
+                    shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+
+    def compact(self) -> int | None:
+        """Fold the current base (if any) and every acked per-epoch
+        delta into ONE consolidated base directory keyed by the newest
+        covered epoch, then drop the covered dirs — bounds index read
+        I/O to O(live docs) + O(epochs since last compact) instead of
+        O(all epochs ever).  Exactly-once by the same tmp+rename as
+        epoch deltas; a crash between rename and cleanup leaves
+        redundant covered dirs that readers skip and the next
+        update()/compact() removes.  Returns the new base epoch, or
+        None when there is nothing to fold."""
+        os.makedirs(self.dir, exist_ok=True)
+        cursor = self.engine.subscribe(self.consumer)
+        committed = set(list_committed_epochs(self.engine.table_root))
+        base = self._current_base(cursor)
+        covered = [
+            int(n[4:10])
+            for n in os.listdir(self.dir)
+            if n.startswith("fp-e")
+            and not n.endswith(".inprogress")
+            and int(n[4:10]) in committed
+            and int(n[4:10]) <= cursor
+            and (base is None or int(n[4:10]) > base)
+        ]
+        if not covered:
+            return base
+        target = max(covered)
+        self._write_base(target, self._live_rows(full=True, up_to=cursor))
+        self._drop_covered(target)
+        return target
+
+    def _rebuild_base(self, cursor: int) -> None:
+        """Rollback fell below the compacted base epoch: the per-epoch
+        deltas it covered are gone, so re-derive the index state from
+        the TABLE SNAPSHOT at the rollback target (time travel), with
+        every row carrying the target epoch's watermark LSN (all later
+        feed rows outrank it in the latest-per-key fold).  One full
+        corpus read — paid only on rollback-past-compaction."""
+        m = load_epoch(self.engine.table_root, cursor)
+        wm = int(m.watermark_lsn)
+        snap = self.engine.snapshot_dataset(epoch=cursor)
+        rows_fn = type(self)._delta_rows
+
+        def with_envelope(b: pa.Table) -> pa.Table:
+            b = b.append_column("op", pa.array(["U"] * len(b), pa.string()))
+            b = b.append_column("lsn", pa.array([wm] * len(b), pa.int64()))
+            return rows_fn(b)
+
+        final = self._base_dir(cursor)
+        tmp = final + ".inprogress"
+        n = self._write_rows_dir(tmp, snap, with_envelope)
+        with open(os.path.join(tmp, "_source.json"), "w") as f:
+            json.dump(
+                {"epoch": cursor, "identity": _epoch_identity(m), "rows": int(n)}, f
+            )
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        self._drop_covered(cursor)
+
     # -- maintenance ---------------------------------------------------------
     def update(self) -> list[int]:
         """Consume every unacked epoch's feed into delta rows.
@@ -138,15 +284,32 @@ class EpochDeltaIndex:
         # different values; everything at or below was never rolled
         # back and its old-generation delta remains valid)
         committed = set(list_committed_epochs(self.engine.table_root))
+        bases = self._base_epochs()
+        cur_base = self._current_base(cursor)
+        floor = -1 if cur_base is None else cur_base
         for n in os.listdir(self.dir):
-            if not n.startswith("fp-e"):
+            if not (n.startswith("fp-e") or n.startswith("base-e")):
                 continue
             if n.endswith(".inprogress"):
                 shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
                 continue
+            if n.startswith("base-e"):
+                continue  # bases handled below
             e = int(n[4:10])
-            if e not in committed or e > cursor:
+            # a delta is stale when rolled back / redelivered (above
+            # the cursor) OR already folded into the current base (a
+            # crashed compact's leftover)
+            if e not in committed or e > cursor or e <= floor:
                 shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
+        # base hygiene: keep only the newest valid base; if a base
+        # existed but rollback invalidated every one (the per-epoch
+        # deltas it covered are gone), re-derive it from the snapshot
+        # at the rollback target before consuming new epochs
+        for e in bases:
+            if e != cur_base:
+                shutil.rmtree(self._base_dir(e), ignore_errors=True)
+        if bases and cur_base is None and cursor > 0 and cursor in committed:
+            self._rebuild_base(cursor)
         done = []
         for e, ds in self.engine.consume(self.consumer):
             if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):
@@ -155,21 +318,38 @@ class EpochDeltaIndex:
             done.append(e)
         return done
 
-    def _delta_files(self) -> list[str]:
+    def _delta_files(self, up_to: int | None = None) -> list[str]:
+        """Parquet files of the serveable index state: the newest valid
+        base (if one exists) plus every committed per-epoch delta above
+        it (and at or below ``up_to`` when given).  Covered dirs a
+        crashed compact left behind are skipped here and removed by the
+        next update()/compact()."""
+        from ..state.consumers import load_cursor
+
         committed = set(list_committed_epochs(self.engine.table_root))
         out = []
         if not os.path.isdir(self.dir):
             return out
+        c = load_cursor(self.engine.table_root, self.consumer)
+        cursor = -1 if c is None else int(c)
+        base = self._current_base(cursor)
+
+        def files_of(n: str) -> list[str]:
+            d = os.path.join(self.dir, n)
+            return [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.startswith("delta-") and f.endswith(".parquet")
+            ]
+
+        if base is not None:
+            out.extend(files_of(f"base-e{base:06d}"))
+        floor = -1 if base is None else base
         for n in sorted(os.listdir(self.dir)):
             if n.startswith("fp-e") and not n.endswith(".inprogress"):
                 e = int(n[4:10])
-                if e in committed:
-                    d = os.path.join(self.dir, n)
-                    out.extend(
-                        os.path.join(d, f)
-                        for f in sorted(os.listdir(d))
-                        if f.startswith("delta-") and f.endswith(".parquet")
-                    )
+                if e in committed and e > floor and (up_to is None or e <= up_to):
+                    out.extend(files_of(n))
         return out
 
     #: (column name, arrow type) of the per-doc payload each subclass
@@ -179,13 +359,17 @@ class EpochDeltaIndex:
     #: tuple of (name, type) pairs (``_payload`` is then ignored)
     _payload_cols: tuple = ()
 
-    def _live_rows(self) -> "ray.data.Dataset":
+    def _live_rows(
+        self, full: bool = False, up_to: int | None = None
+    ) -> "ray.data.Dataset":
         """(doc_id, <payload>) of the CURRENT live state: latest-LSN
-        record per doc_id across all deltas, deletes dropped — the same
-        argmax reduce as the engine's apply.  Vectorized at scale: a
-        per-block ``latest_per_key`` pre-reduce, ONE hash-partition
-        tag, and a per-PARTITION vectorized fold — P Python calls
-        total, never one per doc."""
+        record per doc_id across the base + deltas, deletes dropped —
+        the same argmax reduce as the engine's apply.  Vectorized at
+        scale: a per-block ``latest_per_key`` pre-reduce, ONE
+        hash-partition tag, and a per-PARTITION vectorized fold — P
+        Python calls total, never one per doc.  ``full=True`` keeps
+        the winning (op, lsn) envelope too — the delta-shaped rows
+        ``compact`` folds into a new base."""
         import numpy as np
 
         import ray
@@ -194,10 +378,14 @@ class EpochDeltaIndex:
 
         cols = self._payload_cols or (self._payload,)
         names = [n for n, _ in cols]
-        files = self._delta_files()
+        keep_cols = ["doc_id", *names] + (["op", "lsn"] if full else [])
+        files = self._delta_files(up_to=up_to)
         if not files:
             empty = {"doc_id": pa.array([], pa.string())}
             empty.update({n: pa.array([], t) for n, t in cols})
+            if full:
+                empty["op"] = pa.array([], pa.string())
+                empty["lsn"] = pa.array([], pa.int64())
             return ray.data.from_arrow(pa.table(empty))
         P = max(4, int(ray.cluster_resources().get("CPU", 4)))
 
@@ -208,10 +396,10 @@ class EpochDeltaIndex:
                 pa.array(hash_partition_ids(t["doc_id"], P).astype(np.int64)),
             )
 
-        def fold(g: pa.Table, names=names) -> pa.Table:
+        def fold(g: pa.Table, keep_cols=keep_cols) -> pa.Table:
             t = latest_per_key(g, "doc_id", "lsn")
             keep = pc.invert(pc.fill_null(pc.equal(t["op"], "D"), False))
-            return t.filter(keep).select(["doc_id", *names])
+            return t.filter(keep).select(keep_cols)
 
         return (
             ray.data.read_parquet(files)

@@ -1,0 +1,179 @@
+"""EpochDeltaIndex compaction (pipelines/dedup_index.py): folding
+per-epoch deltas into a consolidated base, incremental consumption on
+top of a base, crash hygiene, and the rollback-past-compaction rebuild
+from the snapshot."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
+from tartare_ray.pipelines.dedup_index import TokenDedupIndex
+from tartare_ray.pipelines.inverted_index import InvertedIndex
+from tartare_ray.schema import CHANGE_SCHEMA
+
+
+def _write_events(path: str, rows: list[tuple]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array([r[2] for r in rows], pa.string()),
+            "tokens": pa.array([r[3] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(r[3]) if r[3] is not None else None for r in rows], pa.int32()
+            ),
+            "source": pa.array(
+                ["s" if r[3] is not None else None for r in rows], pa.string()
+            ),
+            "schema_version": pa.array([1] * len(rows), pa.int32()),
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, path)
+
+
+def _fps(idx) -> dict[str, int]:
+    t = pa.concat_tables(idx.live_fingerprints().iter_batches(batch_format="pyarrow"))
+    d = t.to_pydict()
+    return dict(zip(d["doc_id"], d["fp"]))
+
+
+def _stats(idx) -> dict:
+    t = pa.concat_tables(idx.term_stats().iter_batches(batch_format="pyarrow"))
+    return t.sort_by("term").to_pydict()
+
+
+def _dirs(idx, prefix: str) -> list[str]:
+    return sorted(n for n in os.listdir(idx.dir) if n.startswith(prefix))
+
+
+def _three_epoch_engine(tmp_path):
+    log = str(tmp_path / "log")
+    _write_events(
+        f"{log}/events-000000.parquet",
+        [(1, "I", "a", [1, 2, 3]), (2, "I", "b", [1, 2, 3]), (3, "I", "c", [9])],
+    )
+    _write_events(
+        f"{log}/events-000001.parquet",
+        [(4, "D", "b", None), (5, "U", "c", [7, 7]), (6, "I", "d", [9])],
+    )
+    _write_events(
+        f"{log}/events-000002.parquet",
+        [(7, "I", "e", [1, 2, 3]), (8, "U", "a", [5])],
+    )
+    eng = CdcEngine(
+        log, str(tmp_path / "tbl"), EngineConfig(num_partitions=2, epoch_max_files=1)
+    )
+    eng.replay()
+    return log, eng
+
+
+def test_compact_preserves_state_and_bounds_dirs(ray_session, tmp_path):
+    _, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    assert idx.update() == [1, 2, 3]
+    before = _fps(idx)
+    assert set(before) == {"a", "c", "d", "e"}
+    assert len(_dirs(idx, "fp-e")) == 3
+
+    assert idx.compact() == 3
+    assert _dirs(idx, "base-e") == ["base-e000003"]
+    assert _dirs(idx, "fp-e") == []
+    assert _fps(idx) == before
+    # idempotent no-op when nothing new to fold
+    assert idx.compact() == 3
+    assert _fps(idx) == before
+
+    # group census keeps working from the base (no dup fps remain at
+    # epoch 3, so min_copies=1 — the full census of 4 live docs)
+    dups = pa.concat_tables(
+        idx.duplicate_groups(min_copies=1).iter_batches(batch_format="pyarrow")
+    ).to_pydict()
+    assert sorted(dups["survivor"]) == ["a", "c", "d", "e"]
+    assert all(n == 1 for n in dups["n_copies"])
+
+
+def test_incremental_on_top_of_base(ray_session, tmp_path):
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()
+    _write_events(
+        f"{log}/events-000003.parquet", [(9, "D", "a", None), (10, "U", "d", [1])]
+    )
+    eng.replay()
+    assert idx.update() == [4]
+    fps = _fps(idx)
+    assert set(fps) == {"c", "d", "e"}
+    # second compact folds base + new delta
+    assert idx.compact() == 4
+    assert _dirs(idx, "base-e") == ["base-e000004"]
+    assert _dirs(idx, "fp-e") == []
+    assert _fps(idx) == fps
+
+
+def test_crashed_compact_leftovers_are_skipped_and_cleaned(ray_session, tmp_path):
+    _, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    # keep a covered delta dir aside, compact, then restore it — the
+    # "crash between base rename and covered-dir cleanup" state
+    kept = os.path.join(idx.dir, "fp-e000002")
+    aside = str(tmp_path / "aside")
+    shutil.copytree(kept, aside)
+    before = _fps(idx)
+    idx.compact()
+    shutil.copytree(aside, kept)
+    # a stale inprogress dir too
+    os.makedirs(os.path.join(idx.dir, "base-e000009.inprogress"))
+    # readers skip covered dirs (epoch <= base epoch)
+    assert _fps(idx) == before
+    # update() removes the leftovers
+    assert idx.update() == []
+    assert _dirs(idx, "fp-e") == []
+    assert _dirs(idx, "base-e") == ["base-e000003"]
+    assert _fps(idx) == before
+
+
+def test_rollback_past_compaction_rebuilds_from_snapshot(ray_session, tmp_path):
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()  # base at epoch 3
+
+    # state the index must equal after rolling back to epoch 1 and
+    # replaying: a fresh index over the same engine
+    eng.rollback(1)
+    eng.replay()  # re-applies epochs 2..3 from the untouched log
+    assert idx.update() == [2, 3]
+    got = _fps(idx)
+
+    fresh = TokenDedupIndex(eng, name="fresh")
+    fresh.update()
+    assert got == _fps(fresh)
+    # exactly one base (the rebuilt epoch-1 base was superseded or
+    # folded away is fine; state equality is the contract)
+
+
+def test_inverted_index_compacts_list_payloads(ray_session, tmp_path):
+    """Multi-column list payloads survive the base fold byte-for-byte."""
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = InvertedIndex(eng)
+    idx.update()
+    before = _stats(idx)
+    assert idx.compact() == 3
+    assert _stats(idx) == before
+    _write_events(
+        f"{log}/events-000003.parquet", [(9, "U", "e", [2, 2]), (10, "D", "d", None)]
+    )
+    eng.replay()
+    idx.update()
+    fresh = InvertedIndex(eng, name="fresh2")
+    fresh.update()
+    assert _stats(idx) == _stats(fresh)
