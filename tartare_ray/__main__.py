@@ -174,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     add_engine_args(sp)
     sp.add_argument("--name", default="tokfp")
     sp.add_argument("--show-groups", action="store_true")
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="after updating, fold acked epoch deltas into one base directory (bounded index read I/O)",
+    )
 
     sp = sub.add_parser(
         "near-dup",
@@ -186,6 +191,25 @@ def main(argv: list[str] | None = None) -> int:
         "--losers",
         action="store_true",
         help="print cluster losers (connected components, min-doc_id survivor) instead of pairs",
+    )
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="after updating, fold acked epoch deltas into one base directory (bounded index read I/O)",
+    )
+
+    sp = sub.add_parser(
+        "search-index",
+        help="update the incrementally-maintained inverted index from the change feed; print term stats or a bag-of-words top-k search",
+    )
+    add_engine_args(sp)
+    sp.add_argument("--name", default="inverted")
+    sp.add_argument("--terms", default=None, help="comma-separated query words (polynomial-hashed to token ids)")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="after updating, fold acked epoch deltas into one base directory (bounded index read I/O)",
     )
 
     sp = sub.add_parser(
@@ -482,6 +506,8 @@ def main(argv: list[str] | None = None) -> int:
         idx = TokenDedupIndex(eng, name=args.name)
         ingested = idx.update()
         out = {"ingested_epochs": ingested}
+        if args.compact:
+            out["base_epoch"] = idx.compact()
         if args.show_groups:
             groups = [
                 {"fp": r["fp"], "survivor": r["survivor"], "n_copies": r["n_copies"]}
@@ -497,6 +523,8 @@ def main(argv: list[str] | None = None) -> int:
         idx = MinHashIndex(eng, name=args.name)
         ingested = idx.update()
         out = {"ingested_epochs": ingested}
+        if args.compact:
+            out["base_epoch"] = idx.compact()
         if args.losers:
             out["losers"] = sorted(
                 r["doc_id"] for r in idx.near_dup_losers(threshold=args.threshold).take_all()
@@ -507,6 +535,39 @@ def main(argv: list[str] | None = None) -> int:
                 for r in idx.near_dup_pairs(threshold=args.threshold).take_all()
             ]
             out["pairs"] = sorted(pairs, key=lambda p: (p["doc_a"], p["doc_b"]))
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "search-index":
+        from .pipelines.inverted_index import InvertedIndex
+
+        idx = InvertedIndex(eng, name=args.name)
+        ingested = idx.update()
+        out = {"ingested_epochs": ingested}
+        if args.compact:
+            out["base_epoch"] = idx.compact()
+        if args.terms:
+            import numpy as np
+
+            from .functions.text import poly_hash_words
+
+            words = [w for w in args.terms.split(",") if w]
+            ids = poly_hash_words(np.array(words)).tolist()
+            hits = idx.search(ids, k=args.k)
+            out["query"] = dict(zip(words, ids))
+            out["hits"] = [
+                {"doc_id": d, "score": s}
+                for d, s in zip(hits["doc_id"].to_pylist(), hits["score"].to_pylist())
+            ]
+        else:
+            stats = sorted(
+                (
+                    {"term": r["term"], "df": r["df"], "tf_total": r["tf_total"]}
+                    for r in idx.term_stats().take_all()
+                ),
+                key=lambda r: (-r["tf_total"], r["term"]),
+            )
+            out["top_terms"] = stats[:20]
         print(json.dumps(out))
         return 0
 

@@ -5,11 +5,15 @@ from the snapshot."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import subprocess
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from tartare_ray.pipelines.cdc import CdcEngine, EngineConfig
 from tartare_ray.pipelines.dedup_index import TokenDedupIndex
@@ -159,6 +163,42 @@ def test_rollback_past_compaction_rebuilds_from_snapshot(ray_session, tmp_path):
     assert got == _fps(fresh)
     # exactly one base (the rebuilt epoch-1 base was superseded or
     # folded away is fine; state equality is the contract)
+
+
+@pytest.mark.slow
+def test_cli_search_index_and_compact(tmp_path):
+    """CLI surface: `search-index` updates + compacts the inverted
+    index and serves term stats / a word search; `dedup-index
+    --compact` reports the base epoch."""
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "tartare_ray", *args],
+            capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    log, table = str(tmp_path / "log"), str(tmp_path / "table")
+    cli("gen", "--log-dir", log, "--n-events", "3000")
+    cli("replay", "--log-dir", log, "--table-root", table, "--num-partitions", "4")
+    out = cli(
+        "search-index", "--log-dir", log, "--table-root", table,
+        "--num-partitions", "4", "--compact",
+    )
+    assert out["ingested_epochs"] == [1] and out["base_epoch"] == 1
+    assert len(out["top_terms"]) > 0 and out["top_terms"][0]["tf_total"] >= 1
+    out2 = cli(
+        "search-index", "--log-dir", log, "--table-root", table,
+        "--num-partitions", "4", "--terms", "the,data", "--k", "3",
+    )
+    assert out2["ingested_epochs"] == [] and "hits" in out2
+    out3 = cli(
+        "dedup-index", "--log-dir", log, "--table-root", table,
+        "--num-partitions", "4", "--compact",
+    )
+    assert out3["base_epoch"] == 1
 
 
 def test_inverted_index_compacts_list_payloads(ray_session, tmp_path):
