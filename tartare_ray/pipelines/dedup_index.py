@@ -96,9 +96,11 @@ class EpochDeltaIndex:
         ``tmp`` — the DRIVER never materializes the data (it only
         renames the directory afterwards).  A retried/crashed attempt
         starts from a cleared tmp dir and rewrites the same bytes.
-        Filenames hash doc_id+lsn bytes (doc sets are disjoint across
-        blocks, so names are collision-free even when every row shares
-        one lsn, as in a snapshot rebuild)."""
+        Filenames hash doc_id offsets+data+lsn bytes (doc sets are
+        disjoint across blocks, so names are collision-free even when
+        every row shares one lsn, as in a snapshot rebuild; the
+        offsets buffer is included because disjoint doc sets like
+        ["ab","c"] vs ["a","bc"] share identical data bytes)."""
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
 
@@ -111,7 +113,9 @@ class EpochDeltaIndex:
                 ids = rows["doc_id"]
                 if isinstance(ids, pa.ChunkedArray):
                     ids = ids.combine_chunks()
-                h.update(ids.cast(pa.large_string()).buffers()[2] or b"")
+                ids = ids.cast(pa.large_string())
+                h.update(ids.buffers()[1] or b"")
+                h.update(ids.buffers()[2] or b"")
                 h.update(rows["lsn"].to_numpy(zero_copy_only=False).tobytes())
                 pq.write_table(
                     rows,
@@ -162,12 +166,20 @@ class EpochDeltaIndex:
         )
 
     def _base_valid(self, epoch: int, cursor: int) -> bool:
-        """A base is serveable iff its source epoch is still committed,
-        at or below the acked cursor (nothing above the cursor was ever
-        folded in), and its recorded lineage identity still matches —
-        a rollback below the base epoch deletes that epoch's manifest,
-        which fails the identity check and triggers a snapshot
-        rebuild."""
+        """A base is serveable iff it sits at or below the acked cursor
+        (nothing above the cursor was ever folded in) and it was not
+        invalidated by a rollback below its epoch.  Rollback is the
+        ONLY invalidator; it is detected two ways:
+
+        - manifest still present → lineage-identity mismatch (rollback
+          deleted+recommitted the epoch with different content);
+        - manifest MISSING → disambiguate routine GC from rollback via
+          the recorded rollback GENERATION: ``rollback_to`` always
+          bumps the generation, ``gc_epochs`` never does, so a missing
+          manifest with an unchanged generation means the base is a
+          GC survivor, not a rollback casualty (the previous behavior
+          treated both as rollback and let a later ``compact()``
+          permanently drop all pre-base index state)."""
         if epoch > cursor:
             return False
         p = os.path.join(self._base_dir(epoch), "_source.json")
@@ -175,29 +187,45 @@ class EpochDeltaIndex:
             return False
         with open(p) as f:
             d = json.load(f)
+        gen_ok = d.get("generation") == load_generation(self.engine.table_root)
         try:
             m = load_epoch(self.engine.table_root, epoch)
         except (FileNotFoundError, LookupError, KeyError):
-            return False
+            return gen_ok
+        if d.get("identity") is None:  # written while manifest was GC'd
+            return gen_ok
         return d.get("identity") == _epoch_identity(m)
 
     def _current_base(self, cursor: int) -> int | None:
-        committed = set(list_committed_epochs(self.engine.table_root))
         best = None
         for e in self._base_epochs():
-            if e in committed and self._base_valid(e, cursor):
+            if self._base_valid(e, cursor):
                 best = e
         return best
+
+    def _base_marker(self, epoch: int, rows: int) -> dict:
+        """``_source.json`` payload for a base: lineage identity when
+        the source manifest is still on disk (None when GC already
+        reclaimed it — ``_base_valid`` then falls back to the
+        generation check), plus the rollback generation at write
+        time."""
+        try:
+            ident = _epoch_identity(load_epoch(self.engine.table_root, epoch))
+        except (FileNotFoundError, LookupError, KeyError):
+            ident = None
+        return {
+            "epoch": epoch,
+            "identity": ident,
+            "generation": load_generation(self.engine.table_root),
+            "rows": int(rows),
+        }
 
     def _write_base(self, epoch: int, ds: "ray.data.Dataset") -> None:
         final = self._base_dir(epoch)
         tmp = final + ".inprogress"
         n = self._write_rows_dir(tmp, ds, lambda b: b)
-        m = load_epoch(self.engine.table_root, epoch)
         with open(os.path.join(tmp, "_source.json"), "w") as f:
-            json.dump(
-                {"epoch": epoch, "identity": _epoch_identity(m), "rows": int(n)}, f
-            )
+            json.dump(self._base_marker(epoch, n), f)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
 
@@ -227,12 +255,28 @@ class EpochDeltaIndex:
         cursor = self.engine.subscribe(self.consumer)
         committed = set(list_committed_epochs(self.engine.table_root))
         base = self._current_base(cursor)
+        # rebuild-or-abort (mirrors update()): base dirs exist but none
+        # is valid — a rollback fell below the compacted base and the
+        # deltas it covered are gone.  Folding only the surviving
+        # post-base deltas into a fresh "valid" base would permanently
+        # lose all pre-base state while returning success; re-derive
+        # from the snapshot at the rollback target first.
+        if self._base_epochs() and base is None:
+            if cursor > 0 and cursor in committed:
+                self._rebuild_base(cursor)
+                base = cursor
+            else:
+                raise RuntimeError(
+                    f"index {self.name}: stale base dirs with no valid base and "
+                    f"no committed cursor epoch to rebuild from — run update()"
+                )
+        # epochs <= cursor can never be stale (rollback_to clamps the
+        # cursor), so GC'd manifests do not disqualify acked deltas
         covered = [
             int(n[4:10])
             for n in os.listdir(self.dir)
             if n.startswith("fp-e")
             and not n.endswith(".inprogress")
-            and int(n[4:10]) in committed
             and int(n[4:10]) <= cursor
             and (base is None or int(n[4:10]) > base)
         ]
@@ -264,9 +308,7 @@ class EpochDeltaIndex:
         tmp = final + ".inprogress"
         n = self._write_rows_dir(tmp, snap, with_envelope)
         with open(os.path.join(tmp, "_source.json"), "w") as f:
-            json.dump(
-                {"epoch": cursor, "identity": _epoch_identity(m), "rows": int(n)}, f
-            )
+            json.dump(self._base_marker(cursor, n), f)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
         self._drop_covered(cursor)
@@ -277,12 +319,16 @@ class EpochDeltaIndex:
         Incremental + idempotent; returns the epochs ingested."""
         os.makedirs(self.dir, exist_ok=True)
         cursor = self.engine.subscribe(self.consumer)
-        # rollback hygiene: a delta is stale iff its epoch is no longer
-        # committed OR sits ABOVE the acked cursor (``rollback_to``
-        # clamps cursors to the rollback target, so everything above
-        # gets redelivered — possibly with identical lineage but
-        # different values; everything at or below was never rolled
-        # back and its old-generation delta remains valid)
+        # rollback hygiene: a delta is stale iff it sits ABOVE the
+        # acked cursor (``rollback_to`` clamps cursors to the rollback
+        # target, so everything above gets redelivered — possibly with
+        # identical lineage but different values) or was already folded
+        # into the current base (a crashed compact's leftover).  An
+        # epoch at or below the cursor is NEVER stale — its manifest
+        # may have been GC'd by ``gc_epochs`` (acked epochs are not
+        # consumer-pinned), which says nothing about the delta's
+        # validity, so committed-set membership is deliberately NOT a
+        # staleness test here.
         committed = set(list_committed_epochs(self.engine.table_root))
         bases = self._base_epochs()
         cur_base = self._current_base(cursor)
@@ -296,10 +342,7 @@ class EpochDeltaIndex:
             if n.startswith("base-e"):
                 continue  # bases handled below
             e = int(n[4:10])
-            # a delta is stale when rolled back / redelivered (above
-            # the cursor) OR already folded into the current base (a
-            # crashed compact's leftover)
-            if e not in committed or e > cursor or e <= floor:
+            if e > cursor or e <= floor:
                 shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
         # base hygiene: keep only the newest valid base; if a base
         # existed but rollback invalidated every one (the per-epoch
@@ -320,19 +363,33 @@ class EpochDeltaIndex:
 
     def _delta_files(self, up_to: int | None = None) -> list[str]:
         """Parquet files of the serveable index state: the newest valid
-        base (if one exists) plus every committed per-epoch delta above
-        it (and at or below ``up_to`` when given).  Covered dirs a
-        crashed compact left behind are skipped here and removed by the
-        next update()/compact()."""
+        base (if one exists) plus every acked per-epoch delta above it
+        (and at or below ``up_to`` when given).  Acked deltas are
+        included regardless of manifest survival — GC of an old
+        manifest never invalidates its delta (see ``update``).  Covered
+        dirs a crashed compact left behind are skipped here and removed
+        by the next update()/compact().
+
+        Raises when base dirs exist but NONE is valid (rollback fell
+        below the compacted base): the deltas the base covered are
+        gone, so serving just the surviving post-base deltas would
+        silently return a truncated index — callers must run
+        ``update()`` (which rebuilds the base from the snapshot at the
+        rollback target) first."""
         from ..state.consumers import load_cursor
 
-        committed = set(list_committed_epochs(self.engine.table_root))
         out = []
         if not os.path.isdir(self.dir):
             return out
         c = load_cursor(self.engine.table_root, self.consumer)
         cursor = -1 if c is None else int(c)
         base = self._current_base(cursor)
+        if base is None and self._base_epochs():
+            raise RuntimeError(
+                f"index {self.name}: rollback invalidated the compacted base and "
+                f"its covered deltas are gone — run update() to rebuild from the "
+                f"snapshot before querying"
+            )
 
         def files_of(n: str) -> list[str]:
             d = os.path.join(self.dir, n)
@@ -348,7 +405,7 @@ class EpochDeltaIndex:
         for n in sorted(os.listdir(self.dir)):
             if n.startswith("fp-e") and not n.endswith(".inprogress"):
                 e = int(n[4:10])
-                if e in committed and e > floor and (up_to is None or e <= up_to):
+                if floor < e <= cursor and (up_to is None or e <= up_to):
                     out.extend(files_of(n))
         return out
 

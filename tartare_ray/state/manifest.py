@@ -238,6 +238,23 @@ def _gc_epochs_locked(table_root: str, keep_last: int) -> int:
     cfloor = consumer_retention_floor(table_root)
     if cfloor is not None:
         keep.update(e for e in epochs if e >= cfloor)
+    # incremental-index consolidated bases pin their source epoch's
+    # manifest: ``EpochDeltaIndex._base_valid`` re-checks the base's
+    # lineage identity against it, and keeping it on disk removes the
+    # GC'd-vs-rolled-back ambiguity entirely (the generation marker
+    # remains the fallback for bases whose manifest predates this pin)
+    idir = os.path.join(table_root, "_indexes")
+    if os.path.isdir(idir):
+        eset = set(epochs)
+        for name in os.listdir(idir):
+            sub = os.path.join(idir, name)
+            if not os.path.isdir(sub):
+                continue
+            for n in os.listdir(sub):
+                if n.startswith("base-e") and not n.endswith(".inprogress"):
+                    e = int(n[6:12])
+                    if e in eset:
+                        keep.add(e)
     live: set[str] = set()
     for e in keep:
         d = json.loads(st.read_text(f"_manifests/e{e:06d}.json"))

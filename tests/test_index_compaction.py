@@ -217,3 +217,130 @@ def test_inverted_index_compacts_list_payloads(ray_session, tmp_path):
     fresh = InvertedIndex(eng, name="fresh2")
     fresh.update()
     assert _stats(idx) == _stats(fresh)
+
+
+def _add_epoch4(log, eng):
+    _write_events(
+        f"{log}/events-000003.parquet", [(9, "I", "f", [4, 4]), (10, "U", "c", [8])]
+    )
+    eng.replay()
+
+
+def test_gc_pins_base_epoch_manifest(ray_session, tmp_path):
+    """gc_epochs must not delete the manifest a compacted base's
+    identity check depends on (ADVICE r4, high): base at epoch 3,
+    epoch 4 committed, keep_last=1 — epoch 3's manifest survives via
+    the index pin and the base stays valid."""
+    from tartare_ray.state.manifest import gc_epochs
+
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()  # base at epoch 3
+    _add_epoch4(log, eng)
+    idx.update()
+    before = _fps(idx)
+    assert set(before) == {"a", "c", "d", "e", "f"}
+
+    gc_epochs(eng.table_root, keep_last=1)
+    assert os.path.exists(
+        os.path.join(eng.table_root, "_manifests", "e000003.json")
+    ), "index base epoch manifest must be GC-pinned"
+    assert _fps(idx) == before
+    # compact after GC folds base+delta without losing pre-base state
+    assert idx.compact() == 4
+    assert _fps(idx) == before
+
+
+def test_gcd_base_manifest_is_not_a_rollback(ray_session, tmp_path):
+    """Generation fallback (ADVICE r4, high): even when the base
+    epoch's manifest is GONE (legacy GC before the pin existed), an
+    unchanged rollback generation means the base is still valid —
+    previously it was silently invalidated and the next compact()
+    permanently dropped all pre-base state (5 live docs -> 1)."""
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()  # base at epoch 3
+    _add_epoch4(log, eng)
+    idx.update()
+    before = _fps(idx)
+    assert len(before) == 5
+
+    os.remove(os.path.join(eng.table_root, "_manifests", "e000003.json"))
+    assert _fps(idx) == before, "missing manifest + same generation => GC, not rollback"
+    assert idx.compact() == 4
+    assert _fps(idx) == before
+    assert idx.update() == []
+    assert _fps(idx) == before
+
+
+def test_gcd_delta_manifests_do_not_invalidate_deltas(ray_session, tmp_path):
+    """Acked per-epoch deltas below the cursor are valid regardless of
+    manifest survival: gc_epochs(keep_last=1) drops old manifests but
+    neither reads nor update() hygiene may drop the delta dirs."""
+    from tartare_ray.state.manifest import gc_epochs, list_committed_epochs
+
+    log, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()  # deltas e1..e3, no base
+    _add_epoch4(log, eng)
+    idx.update()
+    before = _fps(idx)
+    assert len(before) == 5
+
+    gc_epochs(eng.table_root, keep_last=1)
+    assert list_committed_epochs(eng.table_root) == [4]
+    assert _fps(idx) == before
+    assert idx.update() == []
+    assert _dirs(idx, "fp-e") == [f"fp-e{e:06d}" for e in (1, 2, 3, 4)]
+    assert _fps(idx) == before
+    assert idx.compact() == 4
+    assert _fps(idx) == before
+
+
+def test_rollback_past_compaction_read_before_update_raises(ray_session, tmp_path):
+    """ADVICE r4 (medium): between rollback-past-compaction and the
+    next update() the index has no serveable state (base invalid, its
+    covered deltas folded away) — reads must raise, not silently
+    serve a truncated index."""
+    _, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()  # base at epoch 3
+    eng.rollback(1)
+    with pytest.raises(RuntimeError, match="run update"):
+        _fps(idx)
+    idx.update()  # snapshot rebuild at the rollback target
+    fresh = TokenDedupIndex(eng, name="fresh-rb")
+    fresh.update()
+    assert _fps(idx) == _fps(fresh)
+
+
+def test_delta_filename_hash_covers_offsets(ray_session, tmp_path):
+    """ADVICE r4 (low): ["ab","c"] vs ["a","bc"] share identical
+    doc_id DATA bytes; with identical lsn bytes the two blocks must
+    still write distinct delta files (offsets are hashed too)."""
+    import ray
+
+    _, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+
+    def block(ids):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "fp": pa.array([1, 2], pa.int64()),
+                "op": pa.array(["U", "U"], pa.string()),
+                "lsn": pa.array([7, 7], pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_arrow([block(["ab", "c"]), block(["a", "bc"])])
+    tmp = str(tmp_path / "hashdir")
+    n = idx._write_rows_dir(tmp, ds, lambda b: b)
+    assert n == 4
+    files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    assert len(files) == 2, f"filename collision lost a block: {files}"
+    total = sum(pq.read_table(os.path.join(tmp, f)).num_rows for f in files)
+    assert total == 4
