@@ -102,3 +102,61 @@ def latest_per_key(
     t = tbl.sort_by(sort_keys).combine_chunks()
     mask = _first_occurrence_mask(t[key].combine_chunks())
     return t.filter(mask)
+
+
+def run_segments(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of the runs of equal values in an already
+    sorted key array — the segment skeleton every bucket-shuffled
+    multi-key window fold shares (one ``np.lexsort`` per bucket, then
+    run masks, never one Python call per key)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1]])
+    return starts, np.diff(np.append(starts, n))
+
+
+def grouped_ref_positions(
+    r_key: np.ndarray,
+    r_val: np.ndarray,
+    p_key: np.ndarray,
+    p_val: np.ndarray,
+    inclusive: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-key searchsorted over MANY keys at once — the
+    primitive behind asof/range joins without per-key Python dispatch.
+
+    For each probe i returns:
+      cnt[i]  = #{j : r_key[j] == p_key[i] and r_val[j] <= p_val[i]}
+                (strict ``<`` when ``inclusive=False``)
+      gidx[i] = index INTO THE REF ARRAYS AS PASSED of the last such
+                ref (-1 when cnt == 0).
+
+    Refs must be pre-sorted by (key, val, tiebreak); ``np.lexsort``'s
+    stability preserves their relative order, so ``gidx`` points at
+    the ref with the HIGHEST tiebreak among equal (key, val) — the
+    as-of "latest wins" convention.  One O((R+P) log(R+P)) lexsort +
+    cumsum per call, shared by every key in the batch."""
+    n_r, n_p = len(r_key), len(p_key)
+    key = np.concatenate([r_key, p_key])
+    val = np.concatenate([r_val, p_val])
+    is_ref = np.zeros(n_r + n_p, bool)
+    is_ref[:n_r] = True
+    # tie order at equal (key, val): inclusive counts equal refs →
+    # refs sort before probes; strict excludes them → probes first
+    tie = np.where(is_ref, 0 if inclusive else 1, 1 if inclusive else 0).astype(
+        np.int8
+    )
+    order = np.lexsort((tie, val, key))
+    ref_s = is_ref[order]
+    refs_before = np.cumsum(ref_s) - ref_s  # refs strictly before each pos
+    starts, counts = run_segments(key[order])
+    seg_base = np.repeat(refs_before[starts], counts)
+    probe_pos = np.flatnonzero(~ref_s)
+    cnt_sorted = (refs_before - seg_base)[probe_pos]
+    orig = order[probe_pos] - n_r
+    cnt = np.empty(n_p, np.int64)
+    cnt[orig] = cnt_sorted
+    gidx = np.full(n_p, -1, np.int64)
+    gidx[orig] = np.where(cnt_sorted > 0, refs_before[probe_pos] - 1, -1)
+    return cnt, gidx
