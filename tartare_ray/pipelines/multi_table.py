@@ -177,10 +177,15 @@ class MultiTableCdc:
         with open(p) as f:
             return json.load(f)["tables"]
 
-    def _commit_global(self, entries: dict[str, dict]) -> int:
-        """Atomic cross-table commit: parent-guarded CAS under an
-        exclusive flock (two coordinators racing the same root cannot
-        both commit epoch N+1 from parent N)."""
+    def _commit_global(
+        self, entries: dict[str, dict], expect_parent: int | None = None
+    ) -> int:
+        """Atomic cross-table commit: CAS under an exclusive flock.
+        ``expect_parent`` is the global epoch the coordinator READ
+        before replaying its tables — if another coordinator committed
+        in between, the swap is refused (lost-update guard, the
+        generalization of the single-table
+        ``commit_manifest(guard_parent=True)``)."""
         os.makedirs(self.global_dir, exist_ok=True)
         fd = os.open(os.path.join(self.global_dir, "LOCK"), os.O_CREAT | os.O_RDWR)
         try:
@@ -191,11 +196,16 @@ class MultiTableCdc:
                     f"another coordinator is committing {self.root}"
                 ) from None
             cur = self.global_epoch()
+            if expect_parent is not None and cur != expect_parent:
+                raise GlobalCommitError(
+                    f"lost update: global epoch moved {expect_parent} -> {cur} "
+                    f"while this coordinator was replaying"
+                )
             if cur > 0 and self.watermarks(cur) == entries:
                 return cur  # no table moved: idempotent no-op
             nxt = cur + 1
             final = os.path.join(self.global_dir, f"e{nxt:06d}.json")
-            if os.path.exists(final):  # parent guard
+            if os.path.exists(final):  # belt-and-braces under the lock
                 raise GlobalCommitError(f"global epoch {nxt} already committed")
             tmp = final + ".tmp"
             with open(tmp, "w") as f:
@@ -215,6 +225,7 @@ class MultiTableCdc:
         epoch.  ``_crash_after_table`` is the fault-injection hook the
         mid-commit crash test uses (raises after that table's replay,
         BEFORE the global commit)."""
+        parent = self.global_epoch()  # CAS read point
         self.demux()
         entries: dict[str, dict] = {}
         for t in self.tables():
@@ -229,7 +240,7 @@ class MultiTableCdc:
                 raise RuntimeError(f"injected crash after table {t!r}")
         if not entries:
             return self.global_epoch()
-        return self._commit_global(entries)
+        return self._commit_global(entries, expect_parent=parent)
 
     # -- consistent reads ----------------------------------------------------
     def snapshot(self, table: str, global_epoch: int | None = None) -> ray.data.Dataset:
@@ -244,3 +255,206 @@ class MultiTableCdc:
 
     def cleanup(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 2-table fixture log (the cdc_multi_table query) — same
+# conventions as pipelines/flagship.py: derived from the documents
+# table with SQL-reproducible token payloads, LSNs a pure function of
+# (wave, table, doc_id), so DuckDB can rebuild BOTH tables' final
+# states declaratively.
+# ---------------------------------------------------------------------------
+
+VOCAB = 50257
+
+
+def derive_multi_log(sf_dir: str, log_dir: str) -> None:
+    """Interleaved 2-table change log over ``sf_dir``'s documents:
+
+    - table ``seq``:  wave-0 insert of every doc (poly-hash tokens);
+      wave-1 update of doc_id % 5 < 2 (sentinel appended); wave-2
+      delete of doc_id % 10 == 7.
+    - table ``meta``: wave-0 insert of every doc (tokens = [doc_id %
+      VOCAB]); wave-1 update of doc_id % 3 == 0 (tokens = [doc_id %
+      VOCAB, 7]); wave-2 delete of doc_id % 7 == 3.
+
+    Each wave is ONE file carrying both tables' rows interleaved in
+    LSN order (seq rows even, meta rows odd within the wave's band) —
+    the binlog shape the demux exists for."""
+    import numpy as np
+
+    from .. import __version__
+    from ..functions import text as T
+
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, "_COMPLETE")
+    tag = f"multitable-v1-{__version__}-{sf_dir}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == tag:
+                return
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    id_str = pc.cast(docs["doc_id"], pa.string())
+    base = 2 * (int(ids.max()) + 1)
+
+    def list32(vals_per_row: list[np.ndarray]) -> pa.ListArray:
+        lens = np.array([len(v) for v in vals_per_row], np.int64)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = np.concatenate(vals_per_row) if len(vals_per_row) else np.zeros(0)
+        return pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(flat.astype(np.int32), pa.int32())
+        ).cast(pa.list_(pa.int32()))
+
+    def rows(
+        tbl: str, lsn: np.ndarray, op: str, did: pa.Array, toks, n_tok, src
+    ) -> pa.Table:
+        m = len(lsn)
+        return pa.table(
+            {
+                "lsn": pa.array(lsn, pa.int64()),
+                "op": pa.array([op] * m, pa.string()),
+                "doc_id": did,
+                "tokens": toks,
+                "n_tok": n_tok,
+                "source": src,
+                "schema_version": pa.array(np.ones(m, np.int32)),
+                "table": pa.array([tbl] * m, pa.string()),
+            }
+        )
+
+    def write(fileno: int, parts: list[pa.Table]) -> None:
+        t = pa.concat_tables(parts).sort_by([("lsn", "ascending")])
+        path = os.path.join(log_dir, f"events-{fileno:06d}.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    # wave 0: both tables insert everything (narrow int32 token lists)
+    s_toks, s_off = T.word_polyhash_lists(docs["text"])
+    s_lens = np.diff(s_off)
+    seq_toks = pa.ListArray.from_arrays(
+        pa.array(s_off, pa.int32()), pa.array(s_toks.astype(np.int32), pa.int32())
+    ).cast(pa.list_(pa.int32()))
+    meta_toks0 = list32([np.array([i % VOCAB]) for i in ids])
+    write(
+        0,
+        [
+            rows(
+                "seq",
+                2 * ids,
+                "I",
+                id_str,
+                seq_toks,
+                pa.array(s_lens.astype(np.int32), pa.int32()),
+                docs["source"],
+            ),
+            rows(
+                "meta",
+                2 * ids + 1,
+                "I",
+                id_str,
+                meta_toks0,
+                pa.array(np.ones(n, np.int32), pa.int32()),
+                docs["source"],
+            ),
+        ],
+    )
+    # wave 1: seq updates %5<2 (sentinel appended); meta updates %3==0
+    su = ids % 5 < 2
+    suids = ids[su]
+    su_texts = docs["text"].filter(pa.array(su))
+    u_toks, u_off = T.word_polyhash_lists(su_texts)
+    u_lens = np.diff(u_off)
+    new_lens = u_lens + 1
+    new_off = np.zeros(len(new_lens) + 1, np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    out = np.empty(int(new_off[-1]), np.int64)
+    pos = np.arange(len(out)) - np.repeat(new_off[:-1], new_lens)
+    is_sent = pos == np.repeat(u_lens, new_lens)
+    out[~is_sent] = u_toks
+    out[is_sent] = VOCAB - 1
+    seq_toks1 = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), pa.array(out.astype(np.int32), pa.int32())
+    ).cast(pa.list_(pa.int32()))
+    mu = ids % 3 == 0
+    muids = ids[mu]
+    meta_toks1 = list32([np.array([i % VOCAB, 7]) for i in muids])
+    write(
+        1,
+        [
+            rows(
+                "seq",
+                base + 2 * suids,
+                "U",
+                id_str.filter(pa.array(su)),
+                seq_toks1,
+                pa.array(new_lens.astype(np.int32), pa.int32()),
+                docs["source"].filter(pa.array(su)),
+            ),
+            rows(
+                "meta",
+                base + 2 * muids + 1,
+                "U",
+                id_str.filter(pa.array(mu)),
+                meta_toks1,
+                pa.array(np.full(len(muids), 2, np.int32), pa.int32()),
+                docs["source"].filter(pa.array(mu)),
+            ),
+        ],
+    )
+    # wave 2: seq deletes %10==7; meta deletes %7==3
+    sd = ids % 10 == 7
+    sdids = ids[sd]
+    md = ids % 7 == 3
+    mdids = ids[md]
+    write(
+        2,
+        [
+            rows(
+                "seq",
+                2 * base + 2 * sdids,
+                "D",
+                id_str.filter(pa.array(sd)),
+                pa.nulls(len(sdids), pa.list_(pa.int32())),
+                pa.nulls(len(sdids), pa.int32()),
+                pa.nulls(len(sdids), pa.string()),
+            ),
+            rows(
+                "meta",
+                2 * base + 2 * mdids + 1,
+                "D",
+                id_str.filter(pa.array(md)),
+                pa.nulls(len(mdids), pa.list_(pa.int32())),
+                pa.nulls(len(mdids), pa.int32()),
+                pa.nulls(len(mdids), pa.string()),
+            ),
+        ],
+    )
+    with open(marker, "w") as f:
+        f.write(tag)
+
+
+def multi_workdir(sf_dir: str) -> str:
+    from .. import __version__
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/tartare_ray/multitable-v1-{__version__}-{tag}"
+
+
+def run_multi_table(sf_dir: str, num_partitions: int = 4) -> MultiTableCdc:
+    """Derive the interleaved log (idempotent), demux + replay both
+    tables, commit the global manifest.  Re-runs are no-ops."""
+    work = multi_workdir(sf_dir)
+    log_dir = os.path.join(work, "log")
+    derive_multi_log(sf_dir, log_dir)
+    mt = MultiTableCdc(
+        log_dir,
+        os.path.join(work, "mt"),
+        EngineConfig(num_partitions=num_partitions, epoch_max_files=1),
+    )
+    mt.replay()
+    return mt

@@ -3772,6 +3772,50 @@ def cdc_backfill(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def cdc_multi_table(sf_dir: str) -> ray.data.Dataset:
+    """Multi-table CDC (pipelines/multi_table.py): ONE interleaved
+    binlog carrying a ``table`` column is demuxed (distributed, one
+    task per log file, tmp+rename idempotent) into per-table engines
+    — ``seq`` (poly-hash token docs: insert all / update %5<2 with
+    sentinel / delete %10==7) and ``meta`` (single-token rows: insert
+    all / update %3==0 / delete %7==3) — whose epochs commit under a
+    SINGLE atomic cross-table global manifest; reads here go through
+    the consistent-snapshot API (each table time-traveled to the
+    global manifest's recorded epoch, so no table is ever observed at
+    a watermark the other hasn't reached).  Output: (tbl, doc_id,
+    n_tok, tok_sum) per live row of BOTH tables; the DuckDB oracle
+    rebuilds both final states declaratively.  The mid-commit-crash
+    guarantee is pytest-asserted (tests/test_multi_table.py)."""
+    from .multi_table import run_multi_table
+
+    mt = run_multi_table(sf_dir)
+
+    def summary(tbl: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = token_sum_batch(b)
+            return pa.table(
+                {
+                    "tbl": pa.array([tbl] * len(t), pa.string()),
+                    "doc_id": t["doc_id"],
+                    "n_tok": t["n_tok"],
+                    "tok_sum": t["tok_sum"],
+                }
+            )
+
+        return fn
+
+    parts = [
+        mt.snapshot(t).map_batches(
+            summary(t), batch_format="pyarrow", zero_copy_batch=True
+        )
+        for t in mt.tables()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def token_rarity(sf_dir: str, rare_max: int = 2) -> ray.data.Dataset:
     """Corpus-statistics-driven quality scoring: per document, how many
     of its word occurrences are RARE (global corpus frequency ≤
@@ -5215,6 +5259,9 @@ QUERIES = {
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_backfill": cdc_backfill,
+    # — round-5: multi-table demux + atomic cross-table commit (never
+    #   driver-checked → inside the window)
+    "cdc_multi_table": cdc_multi_table,
     # — round-4 third session: distributed Lloyd k-means + assignment,
     #   packing-conservation verdict, exact-integer classifier scoring,
     #   and doc_fingerprint upgraded in place to a SQL-reproducible
@@ -6015,6 +6062,37 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, source,
                CAST(list_sum(t) AS BIGINT) AS tok_sum, quality
         FROM final
+    """,
+    # Multi-table CDC: both tables' final replayed states rebuilt
+    # declaratively — seq via the shared poly-hash CTE (update %5<2
+    # appends the sentinel, delete %10==7), meta from doc_id alone
+    # (update %3==0 → [id%V, 7], delete %7==3).
+    "cdc_multi_table": """
+        WITH tok0 AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 50257)) AS t
+            FROM documents
+        ), seq_final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 5 < 2 THEN list_append(t, 50256) ELSE t END AS t
+            FROM tok0 WHERE doc_id % 10 <> 7
+        ), meta_final AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN [CAST(doc_id % 50257 AS BIGINT), CAST(7 AS BIGINT)]
+                        ELSE [CAST(doc_id % 50257 AS BIGINT)] END AS t
+            FROM documents WHERE doc_id % 7 <> 3
+        )
+        SELECT 'seq' AS tbl, doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(list_sum(t) AS BIGINT) AS tok_sum FROM seq_final
+        UNION ALL
+        SELECT 'meta' AS tbl, doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(list_sum(t) AS BIGINT) AS tok_sum FROM meta_final
     """,
     # Token conservation through the export sink (round-4 upgrade):
     # DuckDB recomputes the exported corpus's doc count and token mass
