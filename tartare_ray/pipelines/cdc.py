@@ -15,6 +15,8 @@ No ``ray.init`` here — the session is owned by the caller
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass
 
@@ -361,6 +363,10 @@ class CdcEngine:
             # the wrong parent chains.
             self.cfg.num_partitions = cur.num_partitions
         watermark = cur.watermark_lsn if cur is not None else -1
+        # out-of-order tail hardening: a never-consumed file wholly
+        # at/below the watermark is a violating producer — dead-letter
+        # it (with metrics) instead of silently skipping its events
+        self._late_moved_this_run = self._quarantine_late(watermark)
         pending = pending_files(self.log_dir, watermark)
         max_bytes = self._epoch_max_bytes()
         chosen = plan_epoch(
@@ -638,11 +644,14 @@ class CdcEngine:
             partitions=partitions,
             num_partitions=self.cfg.num_partitions,
             parent_watermark_lsn=cur.watermark_lsn if cur is not None else -1,
+            source_files=[f.path for f in chosen],
         )
         self._commit(m)
         phases["commit_s"] = round(time.perf_counter() - t_commit, 3)
         metrics = epoch_metrics(m, sorted(touched), time.perf_counter() - t0, phases)
         metrics["quarantined_rows"] = self._quarantine_count(epoch)
+        if getattr(self, "_late_moved_this_run", 0):
+            metrics["late_quarantined_files"] = self._late_moved_this_run
         if self._schema_conflict:
             # epoch truncated before a poison file (operability signal)
             metrics["schema_conflict_file"] = self._schema_conflict
@@ -1167,6 +1176,95 @@ class CdcEngine:
             if n.endswith(".parquet")
         )
 
+    # -- out-of-order tail hardening ----------------------------------------
+    def _consumed_files(self) -> tuple[set[str], bool, int]:
+        """(consumed paths over retained manifests, detection-complete
+        flag, LSN floor below which late detection stays off).
+
+        Detection is complete only when EVERY retained manifest records
+        ``source_files`` (tables written by older code keep legacy
+        skip-silently behavior).  The floor is the oldest retained
+        manifest's parent watermark: files wholly below it predate the
+        retention window, so applied-vs-late is undecidable there
+        (their manifests are GC'd) — ``gc_log`` reclaims those.
+        Incrementally cached per engine instance (O(new epochs) manifest
+        loads per call, not O(all epochs))."""
+        epochs = list_committed_epochs(self.table_root)
+        key = (epochs[0], epochs[-1], len(epochs)) if epochs else None
+        cache = getattr(self, "_consumed_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1], cache[2], cache[3]
+        consumed: set[str] = set()
+        complete = True
+        floor = -1
+        for i, e in enumerate(epochs):
+            m = load_epoch(self.table_root, e)
+            if i == 0:
+                pw = m.parent_watermark_lsn
+                floor = -1 if pw is None else int(pw)
+                if pw is None and m.parent_epoch is not None:
+                    complete = False  # pre-field manifest
+            if m.source_files is None:
+                complete = False
+            else:
+                consumed.update(m.source_files)
+        self._consumed_cache = (key, consumed, complete, floor)
+        return consumed, complete, floor
+
+    def _quarantine_late(self, watermark: int) -> int:
+        """A producer file whose LSNs fall ENTIRELY at/below the
+        committed watermark and that no retained epoch consumed is a
+        protocol violation (LSNs must be assigned monotonically at the
+        cut): it can never be applied, and silently skipping it loses
+        its events without a trace.  Move it to
+        ``_quarantine/late/`` and append a metrics line — the
+        watermark itself never regresses (out-of-order events inside a
+        STRADDLING file are handled row-wise by the validate stage's
+        watermark filter, which is redelivery semantics, not loss)."""
+        if watermark < 0:
+            return 0
+        consumed, complete, floor = self._consumed_files()
+        if not complete:
+            return 0
+        moved = 0
+        qdir = os.path.join(self.table_root, "_quarantine", "late")
+        for f in list_log_files(self.log_dir):
+            if (
+                floor < f.max_lsn <= watermark
+                and f.path not in consumed
+                and os.path.exists(f.path)  # remote URIs: metrics-only below
+            ):
+                os.makedirs(qdir, exist_ok=True)
+                dest = os.path.join(qdir, os.path.basename(f.path))
+                os.replace(f.path, dest)
+                with open(os.path.join(qdir, "_late.jsonl"), "a") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "file": os.path.basename(f.path),
+                                "min_lsn": int(f.min_lsn),
+                                "max_lsn": int(f.max_lsn),
+                                "watermark": int(watermark),
+                                "rows": int(f.num_rows),
+                            }
+                        )
+                        + "\n"
+                    )
+                moved += 1
+        return moved
+
+    def late_quarantine_stats(self) -> dict:
+        """{files, rows} quarantined as late across the table's life."""
+        p = os.path.join(self.table_root, "_quarantine", "late", "_late.jsonl")
+        files = rows = 0
+        if os.path.exists(p):
+            with open(p) as fh:
+                for line in fh:
+                    d = json.loads(line)
+                    files += 1
+                    rows += int(d.get("rows", 0))
+        return {"files": files, "rows": rows}
+
     def quarantine_dataset(self, epoch: int) -> ray.data.Dataset:
         """The malformed rows rejected by epoch ``epoch``'s validate
         stage, for diagnosis/replay-after-fix."""
@@ -1227,6 +1325,7 @@ class CdcEngine:
                 partitions=cur.partitions,
                 num_partitions=cur.num_partitions or self.cfg.num_partitions,
                 parent_watermark_lsn=cur.watermark_lsn,
+                source_files=[],  # derived epoch: no new log files consumed
             )
             self._commit(m)
             return m
@@ -1387,6 +1486,7 @@ class CdcEngine:
                 partitions=partitions,
                 num_partitions=cur.num_partitions or self.cfg.num_partitions,
                 parent_watermark_lsn=cur.watermark_lsn,
+                source_files=[],  # derived epoch: no new log files consumed
             )
             self._commit(m)
             return m
@@ -1462,6 +1562,7 @@ class CdcEngine:
             partitions=partitions,
             num_partitions=cur.num_partitions or self.cfg.num_partitions,
             parent_watermark_lsn=cur.watermark_lsn,
+            source_files=[],  # derived epoch: no new log files consumed
         )
         self._commit(m)
         return m
@@ -1542,6 +1643,7 @@ class CdcEngine:
                 partitions=partitions,
                 num_partitions=new_num_partitions,
                 parent_watermark_lsn=cur.watermark_lsn,
+                source_files=[],  # derived epoch: no new log files consumed
             )
             self._commit(m)
             return m

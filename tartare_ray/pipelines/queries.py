@@ -2915,6 +2915,76 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     )
 
 
+def semdedup_pairs(sf_dir: str, threshold: float = 0.3, nprobe: int = 4) -> ray.data.Dataset:
+    """SemDeDup-shaped clustered embedding near-dup (the second
+    sub-quadratic embedding path, complementing ``ann_lsh_pairs``):
+    spherical k-means coarse quantizer (driver-side sample, same
+    convention as ann_ivf_topk) → each vector emitted into its
+    ``nprobe``=4 nearest clusters (boundary pairs co-locate in ≥1
+    probed cluster; 4 probes measured recall 1.0 at the 0.3 moderate-
+    similarity threshold where 2 probes gave 0.76 — at near-dup
+    thresholds 2 suffice) → within-cluster EXACT blocked-matmul verify
+    (stages/similarity.py::cluster_pairs_verify — no drop cap, a fat
+    cluster costs time not recall) → pair dedupe.  Cluster count
+    scales ≈ n/512 so the expected cluster stays a few hundred rows
+    at any corpus size; the shuffle moves each embedding nprobe×
+    (nprobe=4 halves LSH's 8× duplication).  Rows-only driver check; the recall
+    verdict vs exact all-pairs is ``semdedup_recall`` (value-hashed)
+    and the 10^6-vector campaign is tools/ann_campaign.py."""
+    n = _table_num_rows(sf_dir, "embeddings")
+    n_clusters = max(8, n // 512)
+    sample = _embedding_head(sf_dir, min(n, max(4096, 4 * n_clusters)))
+    train = S.l2_normalize(S.embedding_matrix(sample))
+    centroids = S.spherical_kmeans(train, n_clusters)
+    cref = ray.put(centroids)
+    buckets = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        S.SemDedupAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cref, nprobe=nprobe),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    pairs = buckets.groupby("cluster").map_groups(
+        lambda g: S.cluster_pairs_verify(g, threshold=threshold),
+        batch_format="pyarrow",
+    )
+    # a pair may surface from both probed clusters — dedupe
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("cos", alias_name="cos"))
+        .select_columns(["id_a", "id_b", "cos"])
+    )
+
+
+def semdedup_recall(
+    sf_dir: str, threshold: float = 0.3, floor: float = 0.95
+) -> pa.Table:
+    """SemDeDup recall vs EXACT all-pairs cosine ground truth, as a
+    value-hash-checked verdict (the ``minhash_recall`` shape): rows
+    are the exact pairs (cos ≥ threshold, the embedding_dedup SQL)
+    plus a boolean asserting the clustered path recovered ≥ ``floor``
+    of them.  Both pair sets are O(near-dup pairs) driver-side — tiny
+    by construction; the corpus itself streams through the two
+    pipelines."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup(sf_dir, threshold=threshold).take_all()
+    }  # O(pairs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(sf_dir, threshold=threshold).take_all()
+    }  # O(pairs)
+    recall = len(exact & got) / len(exact) if exact else 1.0
+    rows = sorted(exact)
+    return pa.table(
+        {
+            "id_a": pa.array([p[0] for p in rows], pa.int64()),
+            "id_b": pa.array([p[1] for p in rows], pa.int64()),
+            "recall_ok": pa.array([recall >= floor] * len(rows), pa.bool_()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing + CDC flagship
 # --------------------------------------------------------------------------
@@ -5259,9 +5329,12 @@ QUERIES = {
     #   displacing four r1+r2-green relational variants)
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_backfill": cdc_backfill,
-    # — round-5: multi-table demux + atomic cross-table commit (never
-    #   driver-checked → inside the window)
+    # — round-5: multi-table demux + atomic cross-table commit, and the
+    #   SemDeDup clustered embedding near-dup path + its recall verdict
+    #   (never driver-checked → inside the window)
     "cdc_multi_table": cdc_multi_table,
+    "semdedup_pairs": semdedup_pairs,
+    "semdedup_recall": semdedup_recall,
     # — round-4 third session: distributed Lloyd k-means + assignment,
     #   packing-conservation verdict, exact-integer classifier scoring,
     #   and doc_fingerprint upgraded in place to a SQL-reproducible
@@ -5850,6 +5923,13 @@ ORACLE_SQL = {
     """,
     "embedding_dedup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    # SemDeDup recall verdict: exact pair set (same as embedding_dedup)
+    # plus the recall-≥-floor boolean the clustered path must earn.
+    "semdedup_recall": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS recall_ok
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
     """,

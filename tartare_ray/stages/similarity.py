@@ -614,3 +614,90 @@ def kmeans_lloyd(
         c[nonempty] = sums[nonempty] / cnts[nonempty, None]
         c = np.round(c, quantize)
     return c
+
+
+# -- SemDeDup-shaped clustered embedding near-dup (the scale path) --------
+
+class SemDedupAssignStage:
+    """SemDeDup bucketing (cluster-then-verify, after Abbas et al.'s
+    SemDeDup shape, public arXiv:2303.09540): each vector is emitted
+    into its ``nprobe`` nearest coarse clusters — probing the 2nd
+    centroid handles pairs straddling a cluster boundary — carrying
+    its l2-normalized embedding so the within-cluster exact verify
+    runs GROUP-LOCAL (memory O(cluster), never O(corpus)).  Centroids
+    fetched once per actor in ``__init__``; the shuffle moves each
+    embedding nprobe times (vs n_tables× for the LSH path)."""
+
+    def __init__(self, centroids_ref, nprobe: int = 2):
+        self.c = ray.get(centroids_ref)  # spherical (unit-norm) centroids
+        self.nprobe = nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = l2_normalize(embedding_matrix(batch))
+        n, d = m.shape
+        p = min(self.nprobe, self.c.shape[0])
+        sims = m @ self.c.T
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        tiled = np.repeat(m, p, axis=0)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(tiled.reshape(-1), pa.float64()), d
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(top.reshape(-1).astype(np.int64)),
+                "vec_id": pa.array(np.repeat(ids, p)),
+                "emb": emb,
+            }
+        )
+
+
+def cluster_pairs_verify(
+    group: pa.Table, threshold: float, chunk: int = 2048
+) -> pa.Table:
+    """Cluster group → exact-cosine pairs within the cluster, BLOCKED
+    matmul: sims computed ``chunk`` rows at a time against the
+    cluster's own matrix, so memory is O(chunk × cluster) no matter
+    how fat the cluster — unlike ``bucket_pairs_verify``'s drop cap,
+    a skewed cluster costs wall-time, not recall."""
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+    n = len(group)
+    if n < 2:
+        return empty
+    ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = group["emb"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    d = emb.type.list_size
+    sub = emb.values.to_numpy(zero_copy_only=False).reshape(n, d)
+    order = np.argsort(ids, kind="stable")
+    ids, sub = ids[order], sub[order]
+    # nprobe emission can land the same vector in this cluster once
+    # per probe only when clusters collide — ids are unique per
+    # cluster by construction (top-p of one row is distinct)
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sims = sub[s:e] @ sub.T
+        ra, cb = np.nonzero(sims >= threshold)
+        ga = ra + s
+        keep = cb > ga  # strict upper triangle in global index space
+        if keep.any():
+            out_a.append(ids[ga[keep]])
+            out_b.append(ids[cb[keep]])
+            out_c.append(np.round(sims[ra[keep], cb[keep]], 6))
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+            "cos": pa.array(np.concatenate(out_c)),
+        }
+    )

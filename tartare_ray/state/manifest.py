@@ -70,6 +70,14 @@ class Manifest:
     # survives GC of the parent manifest.  None on pre-field manifests
     # (readers fall back to loading the parent).
     parent_watermark_lsn: int | None = None
+    # Log files this epoch consumed (paths as listed by the tail).
+    # Lets the engine distinguish an already-applied file from a LATE
+    # producer file whose LSNs fall at/below the watermark — the
+    # latter is quarantined instead of silently skipped
+    # (``CdcEngine._quarantine_late``).  None on pre-field manifests
+    # (detection then stays off — legacy behavior); [] on derived
+    # epochs (backfill/compact/repartition consume no new files).
+    source_files: list[str] | None = None
 
     @property
     def schema(self) -> pa.Schema:

@@ -92,7 +92,7 @@ def run_ops(vec_dir: str, n_vecs: int, cpus: int, ops: list[str]) -> None:
     planted = n_vecs // 10  # one (base, base+9) pair per decade
 
     def verify(op: str, res) -> dict:
-        if op == "ann_lsh_pairs":
+        if op in ("ann_lsh_pairs", "semdedup_pairs"):
             def is_planted(b: pa.Table) -> pa.Table:
                 a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
                 c = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -137,6 +137,8 @@ def run_ops(vec_dir: str, n_vecs: int, cpus: int, ops: list[str]) -> None:
             # random dim-64 cosines never reach 0.8 — precision vs the
             # planted set is exact at this setting
             res = Q.ann_lsh_pairs(vec_dir, threshold=0.8)
+        elif op == "semdedup_pairs":
+            res = Q.semdedup_pairs(vec_dir, threshold=0.8)
         else:
             res = getattr(Q, op)(vec_dir)
         if hasattr(res, "materialize"):
@@ -160,7 +162,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=str, default="32")
-    ap.add_argument("--ops", type=str, default="ann_lsh_pairs,ann_ivf_topk,ann_pq_topk")
+    ap.add_argument("--ops", type=str, default="ann_lsh_pairs,semdedup_pairs,ann_ivf_topk,ann_pq_topk")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     vec_dir = f"/tmp/tartare_ray/campaign/vecs-{args.vecs}"

@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--ship-interval", type=float, default=4.0)
     ap.add_argument("--poll-interval", type=float, default=1.0)
     ap.add_argument("--gc-every", type=int, default=4)
+    ap.add_argument("--late-files", type=int, default=0,
+                    help="violating-producer probe: ship N files whose LSNs "
+                         "sit wholly below the watermark mid-soak; they must "
+                         "land in _quarantine/late, not corrupt the replay")
     args = ap.parse_args()
 
     base = f"/tmp/tartare_ray/soak/{args.files}x{args.events_per_file}"
@@ -117,12 +121,20 @@ def main() -> None:
     arrivals: dict[int, float] = {}  # max_lsn -> arrival time
 
     def producer():
-        for f in res.files:
+        for i, f in enumerate(res.files):
             name = os.path.basename(f)
             tmp = os.path.join(live, name + ".inprogress")
             shutil.copyfile(f, tmp)
             os.rename(tmp, os.path.join(live, name))
             arrivals[file_max_lsn[name]] = time.time()
+            if args.late_files and i == len(res.files) // 2:
+                # violating producer: re-ship the FIRST file's events
+                # under fresh names — wholly below the watermark by now
+                for j in range(args.late_files):
+                    lname = f"events-{900000 + j:06d}.parquet"
+                    ltmp = os.path.join(live, lname + ".inprogress")
+                    shutil.copyfile(res.files[0], ltmp)
+                    os.rename(ltmp, os.path.join(live, lname))
             time.sleep(args.ship_interval)
 
     prod = threading.Thread(target=producer, daemon=True)
@@ -186,6 +198,13 @@ def main() -> None:
         "gc_every": args.gc_every,
         "exit_code": tail.returncode,
     }
+    watermarks = [w for _t, _e, w in commits]
+    out["watermark_monotone"] = all(b >= a for a, b in zip(watermarks, watermarks[1:]))
+    if args.late_files:
+        late_meta = os.path.join(table, "_quarantine", "late", "_late.jsonl")
+        n_late = sum(1 for _ in open(late_meta)) if os.path.exists(late_meta) else 0
+        out["late_files_shipped"] = args.late_files
+        out["late_files_quarantined"] = n_late
     print(json.dumps(out))
 
 
