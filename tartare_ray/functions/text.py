@@ -180,3 +180,80 @@ def lang_scores(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray
     )
     best = scores.argmax(axis=1)
     return np.array(langs, dtype=object)[best], scores[np.arange(len(best)), best]
+
+
+def lang_scores_exact(
+    col: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(pred_lang, score_num, score_den) with the argmax decided in
+    EXACT integer arithmetic so an independent engine reproduces it
+    bit-for-bit (the round-5 lang_id oracle upgrade): over the common
+    denominator den = L·C (L = max(words,1), C = chars of the trimmed
+    text), each whitespace language scores v_j = hits_j·C and zh
+    scores v_zh = hits_zh·C + cjk·L — the same rationals
+    ``lang_scores`` compares in float, minus the float.  Ties break by
+    profile order (np.argmax = first max)."""
+    words = word_lists(col)
+    vals, offsets = flat_words(words)
+    L = np.maximum(np.diff(offsets), 1).astype(np.int64)
+    langs = list(LANG_PROFILES)
+    hits = np.zeros((len(L), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        hits[:, j] = segment_member_counts(vals, offsets, LANG_PROFILES[lang])
+    s = pc.utf8_trim_whitespace(col)
+    C = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    no_cjk = pc.replace_substring_regex(s, pattern=r"[一-鿿]", replacement="")
+    cjk = C - pc.utf8_length(no_cjk).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = hits * C[:, None]
+    v[:, langs.index("zh")] += cjk * L
+    best = v.argmax(axis=1)
+    return (
+        np.array(langs, dtype=object)[best],
+        v[np.arange(len(best)), best],
+        L * C,
+    )
+
+
+def lang_id_oracle_sql(table: str = "documents") -> str:
+    """The DuckDB query reproducing ``lang_scores_exact`` — built from
+    the same LANG_PROFILES so the two sides can never drift."""
+    langs = list(LANG_PROFILES)
+
+    def in_list(lang: str) -> str:
+        ws = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(LANG_PROFILES[lang]))
+        return f"len(list_filter(w, x -> x IN ({ws})))"
+
+    hit_cols = ",\n               ".join(
+        f"{in_list(lang)} AS h_{lang}" for lang in langs
+    )
+    v_cols = ", ".join(
+        f"h_{lang}*C + cjk*L AS v_{lang}" if lang == "zh" else f"h_{lang}*C AS v_{lang}"
+        for lang in langs
+    )
+    # first-max tie-break in profile order
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"v_{lang} >= v_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    greatest = "GREATEST(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    return f"""
+        WITH b AS (
+            SELECT doc_id, trim(text) AS s,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM {table}
+        ), m AS (
+            SELECT doc_id,
+               CAST(GREATEST(len(w), 1) AS BIGINT) AS L,
+               CAST(length(s) AS BIGINT) AS C,
+               CAST(length(s) - length(regexp_replace(s, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk,
+               {hit_cols}
+            FROM b
+        ), v AS (
+            SELECT doc_id, {v_cols}, L*C AS den FROM m
+        )
+        SELECT doc_id, {case} AS pred_lang,
+               CAST({greatest} AS BIGINT) AS score_num,
+               CAST(den AS BIGINT) AS score_den
+        FROM v
+    """

@@ -2915,6 +2915,86 @@ def ann_lsh_pairs(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     )
 
 
+def ann_lsh_recall(sf_dir: str, floor: float = 0.9) -> pa.Table:
+    """LSH near-dup recall as a value-hash-checked verdict (round-5
+    rows-only → oracle upgrade for ``ann_lsh_pairs``, the
+    ``minhash_recall`` shape) — graded in the regime hyperplane LSH is
+    FOR (near-duplicates; its per-table collision probability
+    (1−θ/π)^bits makes moderate-cosine pairs a non-goal): the corpus
+    is augmented with an SQL-expressible planted clone of every
+    vec_id < 50 (identical embedding at vec_id+10000, cos exactly
+    1.0), the rows are the exact pairs at cos ≥ 0.99 over the
+    augmented corpus (DuckDB recomputes them with a self-join), and
+    the boolean asserts the full LSH pipeline (sketch → bucket
+    groupby → within-bucket verify → pair dedupe) recovered ≥
+    ``floor`` of them.  Identical vectors share every sketch, so a
+    correct pipeline earns recall 1.0 deterministically — the verdict
+    checks wiring, not luck; graded-at-scale recall on planted
+    near-identical (not identical) pairs is the 10^6 campaign
+    (tools/ann_campaign.py, BASELINE.md)."""
+    threshold = 0.99
+    head = _query_table(sf_dir, 50)
+    clones = pa.table(
+        {
+            "vec_id": pc.add(head["vec_id"], 10000),
+            "embedding": head["embedding"],
+        }
+    )
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    aug = base.union(ray.data.from_arrow(clones))
+    n = _table_num_rows(sf_dir, "embeddings") + len(clones)
+
+    # exact side (oracle scale): broadcast augmented corpus, all-pairs
+    full = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    aug_tbl = pa.concat_tables([full, clones])
+    ids = aug_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = S.l2_normalize(S.embedding_matrix(aug_tbl))
+    cref = ray.put((ids, m))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in aug.map_batches(
+            S.CosinePairsStage,
+            fn_constructor_kwargs=dict(corpus_ref=cref, threshold=threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_conc(),
+        ).take_all()
+    }  # O(planted pairs)
+
+    # LSH side: the ann_lsh_pairs machinery over the augmented stream
+    dim = m.shape[1]
+    bits = max(4, int(np.ceil(np.log2(max(n, 1) / 512))))
+    buckets = aug.map_batches(
+        S.HyperplaneBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, n_tables=8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_conc(),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in buckets.groupby(["table", "bucket"])
+        .map_groups(
+            lambda g: S.bucket_pairs_verify(g, threshold=threshold),
+            batch_format="pyarrow",
+        )
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("cos", alias_name="cos"))
+        .take_all()
+    }  # O(pairs)
+    recall = len(exact & got) / len(exact) if exact else 1.0
+    rows = sorted(exact)
+    return pa.table(
+        {
+            "id_a": pa.array([p[0] for p in rows], pa.int64()),
+            "id_b": pa.array([p[1] for p in rows], pa.int64()),
+            "recall_ok": pa.array([recall >= floor] * len(rows), pa.bool_()),
+        }
+    )
+
+
 def semdedup_pairs(sf_dir: str, threshold: float = 0.3, nprobe: int = 4) -> ray.data.Dataset:
     """SemDeDup-shaped clustered embedding near-dup (the second
     sub-quadratic embedding path, complementing ``ann_lsh_pairs``):
@@ -5267,8 +5347,23 @@ def cms_check(sf_dir: str, topn: int = 32) -> pa.Table:
 # the window holds redundant relational variants, every one of which
 # already has a green rows+schema+hash row in CORRECTNESS_r01/r02 and
 # stays pytest-covered (tests/test_queries.py runs the FULL registry).
+# Registry order is DELIBERATE: the driver's correctness harness
+# checks the FIRST 50 entries.  Round-5 window: the whole CDC family
+# (pipelines/cdc.py grew source-file lineage + late-file quarantine
+# this round, and dedup_index.py's validity model changed — every op
+# touching the engine re-proves), the four NEW round-5 keys
+# (cdc_multi_table, semdedup_pairs, semdedup_recall, ann_lsh_recall),
+# lang_id's first value-hash row (rows-only → exact-integer oracle),
+# the ELEVEN ops rewritten onto bucket-shuffled run-mask folds
+# (sessionize, asof_join, range_join, rolling_window, lead_lag,
+# running_total, latest_event_per_user, grouped_mode,
+# string_agg_sorted, tf_idf_top_terms, cdc_token_dedup — the r4
+# verdict asks the conversions be re-proven under the driver), and
+# the strongest verdict entries.  Every displaced entry has a green
+# driver row in CORRECTNESS_r01–r04 (tests/test_queries.py still runs
+# the FULL registry vs DuckDB every session).
 QUERIES = {
-    # — engine flagship + training-data pipeline (previously past the window)
+    # — driver window (first 50) —
     "cdc_apply_small": cdc_apply_small,
     "cdc_replica_sync": cdc_replica_sync,
     "cdc_incremental_view": cdc_incremental_view,
@@ -5277,107 +5372,64 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_vocab_stats": cdc_vocab_stats,
     "cdc_pack_sequences": cdc_pack_sequences,
+    "cdc_token_dedup": cdc_token_dedup,
+    "cdc_span_overlap": cdc_span_overlap,
+    "cdc_dedup_index": cdc_dedup_index,
+    "cdc_minhash_index": cdc_minhash_index,
+    "cdc_inverted_index": cdc_inverted_index,
+    "cdc_index_search": cdc_index_search,
+    "cdc_export_shards": cdc_export_shards,
+    "cdc_quantile_view": cdc_quantile_view,
+    "cdc_quantile_check": cdc_quantile_check,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_backfill": cdc_backfill,
+    "cdc_multi_table": cdc_multi_table,
+    "cdc_pack_check": cdc_pack_check,
+    "cdc_span_scrub": cdc_span_scrub,
+    "semdedup_pairs": semdedup_pairs,
+    "semdedup_recall": semdedup_recall,
+    "ann_lsh_recall": ann_lsh_recall,
+    "lang_id": lang_id,
+    "sessionize": sessionize,
+    "asof_join": asof_join,
+    "range_join": range_join,
+    "rolling_window": rolling_window,
+    "lead_lag": lead_lag,
+    "running_total": running_total,
+    "latest_event_per_user": latest_event_per_user,
+    "grouped_mode": grouped_mode,
+    "string_agg_sorted": string_agg_sorted,
+    "tf_idf_top_terms": tf_idf_top_terms,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_audio": multimodal_audio,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+    "embedding_kmeans": embedding_kmeans,
+    "kmeans_assign": kmeans_assign,
+    "quality_classifier": quality_classifier,
+    "minhash_recall": minhash_recall,
+    "dedup_clusters": dedup_clusters,
+    "paragraph_dedup": paragraph_dedup,
+    "quantile_sketch": quantile_sketch,
+    "approx_distinct_check": approx_distinct_check,
+    "ann_ivf_recall": ann_ivf_recall,
+    "ann_pq_recall": ann_pq_recall,
+    # — past the window: all previously driver-green (r1–r4) —
     "ann_topk": ann_topk,
     "embedding_dedup": embedding_dedup,
     "ann_lsh_pairs": ann_lsh_pairs,
-    # round-4: the recall VERDICT (hash-oracled) takes the window slot;
-    # the rows-only top-k product surface moves past the window (green
-    # r3 driver row)
-    "ann_ivf_recall": ann_ivf_recall,
     "text_embed": text_embed,
-    "multimodal_meta": multimodal_meta,
-    "multimodal_features": multimodal_features,
     "decontaminate": decontaminate,
-    # — new this round (tokens axis): real BPE, corpus-stats scoring,
-    #   token-sequence dedup
     "token_rarity": token_rarity,
     "train_val_split": train_val_split,
     "bpe_encode": bpe_encode,
-    "cdc_token_dedup": cdc_token_dedup,
-    # — round-4 second session: token-level verbatim-span pairs over
-    #   the committed snapshot (never driver-checked → in the window,
-    #   displacing hopping_window, green r3)
-    "cdc_span_overlap": cdc_span_overlap,
-    "cdc_dedup_index": cdc_dedup_index,
-    "cdc_export_shards": cdc_export_shards,
-    "dedup_clusters": dedup_clusters,
-    # — never-driver-checked round-3 additions rotated INTO the window
-    #   (r2 verdict #1: every CDC/ANN entry gets a driver row; the
-    #   displaced relational variants below were green r1 AND r2)
-    "cdc_quantile_view": cdc_quantile_view,
-    "cdc_minhash_index": cdc_minhash_index,
-    "ann_pq_recall": ann_pq_recall,
-    "paragraph_dedup": paragraph_dedup,
-    # — round-4 second-session verdict upgrades (never driver-checked →
-    #   inside the window): error-bound/recall verdicts that value-anchor
-    #   the HLL sketch, the incremental DDSketch view and the minhash
-    #   near-dup path; displaced funnel_depth / heavy_hitters / pii_scrub
-    #   (all green r3)
-    "approx_distinct_check": approx_distinct_check,
-    "cdc_quantile_check": cdc_quantile_check,
-    "minhash_recall": minhash_recall,
-    # — round-4 second-session operators (asymmetric containment dedup
-    #   + perplexity gate), never driver-checked → inside the window,
-    #   displacing zscore_outliers / textrank_words (green r3)
     "gram_containment": gram_containment,
     "perplexity_filter": perplexity_filter,
-    # — doc_repetition upgraded rows-only → SQL value oracle (round-4
-    #   second session): moved inside the window for its first
-    #   value-hash row, displacing corpus_shuffle (green r3)
     "doc_repetition": doc_repetition,
-    # — late round-3 additions (never driver-checked → inside the window,
-    #   displacing four r1+r2-green relational variants)
-    "cdc_snapshot_diff": cdc_snapshot_diff,
-    "cdc_backfill": cdc_backfill,
-    # — round-5: multi-table demux + atomic cross-table commit, and the
-    #   SemDeDup clustered embedding near-dup path + its recall verdict
-    #   (never driver-checked → inside the window)
-    "cdc_multi_table": cdc_multi_table,
-    "semdedup_pairs": semdedup_pairs,
-    "semdedup_recall": semdedup_recall,
-    # — round-4 third session: distributed Lloyd k-means + assignment,
-    #   packing-conservation verdict, exact-integer classifier scoring,
-    #   and doc_fingerprint upgraded in place to a SQL-reproducible
-    #   Horner fingerprint — never driver-value-checked → inside the
-    #   window, displacing gopher_quality / tf_idf_top_terms /
-    #   source_kl / percent_rank_score / vocab_coverage (all green r3)
-    "kmeans_assign": kmeans_assign,
-    "embedding_kmeans": embedding_kmeans,
-    "cdc_pack_check": cdc_pack_check,
-    "quality_classifier": quality_classifier,
     "doc_fingerprint": doc_fingerprint,
-    # — round-4 fourth session: SQL-anchored SimHash signatures and the
-    #   Count-Min point-frequency verdict — never driver-checked →
-    #   inside the window, displacing word_entropy / bigram_logprob /
-    #   curation_pipeline / temperature_sample (all green r3)
     "simhash_check": simhash_check,
     "cms_check": cms_check,
-    # — round-4 fourth session: verbatim-span scrub (the transform
-    #   counterpart of cdc_span_overlap's detector) — never
-    #   driver-checked → inside the window, displacing stratified_sample
-    #   (green r3)
-    "cdc_span_scrub": cdc_span_scrub,
-    # — remaining never-driver-checked entries (rows-only sketch/dedup
-    #   ops) pulled inside the window; the displaced relational
-    #   variants below (filter_project, grouped_quantile, grouped_agg,
-    #   hash_join) were all green r1 AND r2
-    "quantile_sketch": quantile_sketch,
     "minhash_cluster_dedup": minhash_cluster_dedup,
-    # — round-4 additions (REAL PPM/BMP/WAV decode kernels): never
-    #   driver-checked → inside the window, displacing three
-    #   driver-green entries (filter_project r1+r2, grouped_quantile
-    #   r1+r2, full_outer_join r3)
-    "multimodal_decode": multimodal_decode,
-    "multimodal_audio": multimodal_audio,
-    # — round-4 fifth session: incremental inverted index (term stats +
-    #   bag-of-words search served from the index, full SQL oracles) —
-    #   never driver-checked → inside the window, displacing
-    #   grouped_agg / hash_join (green r1+r2)
-    "cdc_inverted_index": cdc_inverted_index,
-    "cdc_index_search": cdc_index_search,
-    # — past the driver window: entries already green under the driver
-    #   in r1/r2/r3 (relational variants) or rows-only with exact
-    #   pytest oracles
     "grouped_agg": grouped_agg,
     "hash_join": hash_join,
     "filter_project": filter_project,
@@ -5387,7 +5439,6 @@ QUERIES = {
     "temperature_sample": temperature_sample,
     "stratified_sample": stratified_sample,
     "gopher_quality": gopher_quality,
-    "tf_idf_top_terms": tf_idf_top_terms,
     "source_kl": source_kl,
     "percent_rank_score": percent_rank_score,
     "vocab_coverage": vocab_coverage,
@@ -5400,15 +5451,10 @@ QUERIES = {
     "full_outer_join": full_outer_join,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
-    "latest_event_per_user": latest_event_per_user,
     "topk_per_group": topk_per_group,
-    "sessionize": sessionize,
     "window_agg": window_agg,
-    "range_join": range_join,
-    "asof_join": asof_join,
     "broadcast_join": broadcast_join,
     "validity_period": validity_period,
-    "rolling_window": rolling_window,
     "anti_join": anti_join,
     "corpus_filter": corpus_filter,
     "exact_dedup": exact_dedup,
@@ -5430,23 +5476,19 @@ QUERIES = {
     "hopping_window": hopping_window,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_dedup": simhash_dedup,
-    "lang_id": lang_id,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "date_histogram": date_histogram,
-    "lead_lag": lead_lag,
-    "running_total": running_total,
     "pivot_status": pivot_status,
     "rollup_agg": rollup_agg,
     "grouped_corr": grouped_corr,
-    "string_agg_sorted": string_agg_sorted,
     "ntile_quartiles": ntile_quartiles,
     "value_histogram": value_histogram,
     "set_intersect": set_intersect,
     "set_except": set_except,
     "conditional_agg": conditional_agg,
     "weighted_avg": weighted_avg,
-    "grouped_mode": grouped_mode,
 }
+
 
 ORACLE_SQL = {
     "filter_project": """
@@ -5932,6 +5974,20 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS recall_ok
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    # LSH recall verdict over the clone-augmented corpus: exact pairs
+    # at cos >= 0.99 (the planted identical clones) + the recall
+    # boolean the LSH pipeline must earn.
+    "ann_lsh_recall": """
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id < 50
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS recall_ok
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
     """,
     # ANN recall verdicts (round-4 upgrade): the exact top-1 per query
     # is SQL-recomputable (k-means index state is not), so the hash
@@ -7184,3 +7240,8 @@ ORACLE_SQL = {
     # engine-internal lineage, block-order-dependent packing)
     # → rows-only with pytest oracles.
 }
+
+# lang_id (round-5 rows-only → value-oracle upgrade): the SQL is
+# GENERATED from the same LANG_PROFILES the scorer uses, so the two
+# sides cannot drift (functions/text.py::lang_id_oracle_sql).
+ORACLE_SQL["lang_id"] = FT.lang_id_oracle_sql()

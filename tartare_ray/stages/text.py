@@ -89,16 +89,21 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Heuristic language-ID (function-word + CJK-ratio scorer,
-    ``functions/text.py::lang_scores``) — not SQL-expressible, so the
-    driver records a rows-only check; tests assert accuracy against
-    the testdata ``lang`` column instead."""
-    pred, score = T.lang_scores(batch["text"])
+    """Heuristic language-ID (function-word + CJK-ratio scorer).
+    Round-5 oracle upgrade: the argmax and score ride EXACT integer
+    arithmetic over a common denominator
+    (``functions/text.py::lang_scores_exact``), so the driver now
+    value-hash-checks prediction AND score against a DuckDB rebuild
+    generated from the same LANG_PROFILES
+    (``functions/text.py::lang_id_oracle_sql``); accuracy vs the
+    testdata ``lang`` column stays pytest-asserted."""
+    pred, num, den = T.lang_scores_exact(batch["text"])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "pred_lang": pa.array(pred, type=pa.string()),
-            "lang_score": pa.array(np.round(score, 6), type=pa.float64()),
+            "score_num": pa.array(num, type=pa.int64()),
+            "score_den": pa.array(den, type=pa.int64()),
         }
     )
 

@@ -61,7 +61,8 @@ def test_rows_only_queries_run(ray_session):
     from tartare_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     expected_cols = {
-        "lang_id": ["doc_id", "pred_lang", "lang_score"],
+        # lang_id upgraded to a full value oracle in round 5 — covered
+        # by the parametrized oracle test now
         "minhash_lsh_dedup": ["doc_a", "doc_b", "est_jaccard"],
         "simhash_dedup": ["doc_a", "doc_b", "hamming"],
         "ngram_jaccard_pairs": ["doc_a", "doc_b", "jaccard"],
