@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         help="after every N committed epochs, run gc_epochs + gc_log (bounded storage in steady state)",
     )
     sp.add_argument("--gc-keep-last", type=int, default=2)
+    sp.add_argument(
+        "--index-every", type=int, default=None, metavar="N",
+        help="after every N committed epochs, update + compact the incremental "
+             "token-dedup index (long-retention maintenance alongside GC)",
+    )
 
     sp = sub.add_parser("gen", help="write a synthetic change log")
     sp.add_argument("--log-dir", required=True)
@@ -604,6 +609,12 @@ def main(argv: list[str] | None = None) -> int:
                 empty = 0
                 committed += 1
                 out = {"epoch": m.epoch, "watermark": m.watermark_lsn}
+                if args.index_every and committed % args.index_every == 0:
+                    from .pipelines.dedup_index import TokenDedupIndex
+
+                    idx = TokenDedupIndex(eng)
+                    out["index_epochs"] = idx.update()
+                    out["index_base_epoch"] = idx.compact()
                 if args.gc_every and committed % args.gc_every == 0:
                     out["gc_files_removed"] = gc_epochs(
                         args.table_root, keep_last=args.gc_keep_last

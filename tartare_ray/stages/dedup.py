@@ -195,14 +195,18 @@ def bucket_part_tag(keys: list[str], num_parts: int):
     from ..functions.hashing import mix64
 
     def tag(b: pa.Table) -> pa.Table:
+        from ..stages.kernels import key_hash
+
         h = np.zeros(len(b), np.uint64)
         for k in keys:
             col = b[k]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            h = mix64(
-                h ^ col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            )
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:  # arbitrary string keys (e.g. non-numeric doc_ids)
+                v = key_hash(col)
+            h = mix64(h ^ v)
         return b.append_column(
             "part", pa.array((h % np.uint64(num_parts)).astype(np.int64))
         )
