@@ -89,6 +89,14 @@ BENCH_QUERIES = [
     "cdc_span_scrub",
     "cdc_inverted_index",
     "cdc_index_search",
+    # round-5 additions
+    "cdc_multi_table",
+    "semdedup_pairs",
+    "semdedup_recall",
+    "ann_lsh_recall",
+    "lang_id",
+    "rolling_window",
+    "running_total",
 ]
 
 

@@ -4145,16 +4145,9 @@ def cdc_span_overlap(
     pair count IS the shared-span count.  Tokens never leave the first
     stage.  Value-checked against a DuckDB oracle that rebuilds the
     final token state declaratively and joins STRING spans."""
-    return span_scrub_engine(run_flagship(sf_dir), k=k)
-
-
-def span_scrub_engine(eng, k: int = 8) -> ray.data.Dataset:
-    """Engine-level span scrub (see ``cdc_span_scrub``): runs the
-    3-exchange scrub over ANY committed engine's snapshot — the
-    campaign harness (tools/index_campaign.py) drives it at 10^6+
-    docs without the flagship fixture."""
     from ..functions.hashing import mix64, shingle_hashes
 
+    eng = run_flagship(sf_dir)
     ds = eng.snapshot_dataset(columns=["doc_id", "tokens"])
 
     def grams(b: pa.Table, k=k) -> pa.Table:
