@@ -57,7 +57,7 @@ def run_level(n_events: int, n_docs: int, cpus: int) -> None:
 
     base = f"/tmp/tartare_ray/campaign/index-{n_events}x{n_docs}"
     log_dir = f"{base}/log"
-    generate_log(
+    res = generate_log(
         log_dir,
         GenConfig(
             n_events=n_events,
@@ -67,6 +67,42 @@ def run_level(n_events: int, n_docs: int, cpus: int) -> None:
             add_col_frac=0.8,
         ),
     )
+    # plant M pairs of NEW docs with identical 32-token sequences (the
+    # zipf corpus's natural dups are all shorter than the scrub k, so
+    # without these the span-scrub coverage bound is vacuously 0);
+    # appended as one extra log file ABOVE the generated LSN range —
+    # deterministic, idempotent (tmp+rename), survives the generator's
+    # idempotence marker
+    import pyarrow.parquet as pq_
+
+    from tartare_ray.schema import CHANGE_SCHEMA
+
+    M = max(100, n_docs // 1000)
+    span_len = 32
+    planted_file = os.path.join(log_dir, "events-900000.parquet")
+    if not os.path.exists(planted_file):
+        ids, toks, lsns = [], [], []
+        lsn0 = res.max_lsn + 1
+        for j in range(M):
+            seq = [int((j * 31 + i) % 50257) for i in range(span_len)]
+            for side in ("a", "b"):
+                ids.append(f"span-{side}-{j:06d}")
+                toks.append(seq)
+                lsns.append(lsn0 + 2 * j + (0 if side == "a" else 1))
+        tbl = pa.table(
+            {
+                "lsn": pa.array(lsns, pa.int64()),
+                "op": pa.array(["I"] * len(ids), pa.string()),
+                "doc_id": pa.array(ids, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array([span_len] * len(ids), pa.int32()),
+                "source": pa.array(["planted"] * len(ids), pa.string()),
+                "schema_version": pa.array([1] * len(ids), pa.int32()),
+            },
+            schema=CHANGE_SCHEMA,
+        )
+        pq_.write_table(tbl, planted_file + ".tmp")
+        os.replace(planted_file + ".tmp", planted_file)
 
     def emit(op: str, wall: float, extra: dict) -> None:
         print(
@@ -223,7 +259,8 @@ def run_level(n_events: int, n_docs: int, cpus: int) -> None:
                 "invariant_violations": n_bad,
                 "tokens_scrubbed": scrubbed_total,
                 "exact_dup_lower_bound": lb,
-                "lb_ok": scrubbed_total >= lb,
+                "planted_min": M * span_len,
+                "lb_ok": scrubbed_total >= lb >= M * span_len,
             },
         },
     )
