@@ -176,3 +176,65 @@ def test_text_embed_deterministic_unit_norm(ray_session):
     assert np.array_equal(ea, eb)  # deterministic across runs/actors
     norms = np.linalg.norm(ea, axis=1)
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-9)
+
+
+def test_cluster_pairs_verify_matches_bruteforce(ray_session):
+    """Blocked-matmul within-cluster verify (SemDeDup path) == brute
+    force, including across chunk boundaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tartare_ray.stages.similarity import cluster_pairs_verify, l2_normalize
+
+    rng = np.random.default_rng(5)
+    n, d = 37, 8
+    m = l2_normalize(rng.normal(size=(n, d)))
+    ids = rng.permutation(1000)[:n].astype(np.int64)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.reshape(-1), pa.float64()), d
+    )
+    g = pa.table({"vec_id": pa.array(ids), "emb": emb})
+    got = cluster_pairs_verify(g, threshold=0.2, chunk=10).to_pydict()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    order = np.argsort(ids)
+    ids_s, m_s = ids[order], m[order]
+    sims = m_s @ m_s.T
+    want = {
+        (int(ids_s[i]), int(ids_s[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= 0.2
+    }
+    assert pairs == want
+    # ids unique per pair, a < b ordering
+    assert all(a < b for a, b in pairs)
+
+
+def test_semdedup_assign_emits_nprobe_clusters(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tartare_ray.stages.similarity import (
+        SemDedupAssignStage,
+        l2_normalize,
+        spherical_kmeans,
+    )
+
+    rng = np.random.default_rng(6)
+    m = l2_normalize(rng.normal(size=(40, 8)))
+    cents = spherical_kmeans(m, 6)
+    stage = SemDedupAssignStage(ray.put(cents), nprobe=3)
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1), pa.float64()), 8)
+    out = stage(pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)), "embedding": emb.cast(pa.list_(pa.float64()))}))
+    assert len(out) == 40 * 3
+    d = out.to_pydict()
+    per_vec = {}
+    for v, c in zip(d["vec_id"], d["cluster"]):
+        per_vec.setdefault(v, set()).add(c)
+    # 3 DISTINCT clusters per vector, all in range
+    assert all(len(cs) == 3 for cs in per_vec.values())
+    assert all(0 <= c < 6 for cs in per_vec.values() for c in cs)
+    # deterministic: a second call emits identical rows
+    out2 = stage(pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)), "embedding": emb.cast(pa.list_(pa.float64()))}))
+    assert out.equals(out2)
