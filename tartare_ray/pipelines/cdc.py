@@ -50,6 +50,7 @@ from ..state.manifest import (
     list_committed_epochs,
     load_current,
     load_epoch,
+    load_generation,
 )
 from ..stages.apply import MergeApplier, SplitApplier
 from ..stages.validate import ValidatePartitionStage
@@ -1178,8 +1179,17 @@ class CdcEngine:
 
     # -- out-of-order tail hardening ----------------------------------------
     def _consumed_files(self) -> tuple[set[str], bool, int]:
-        """(consumed paths over retained manifests, detection-complete
-        flag, LSN floor below which late detection stays off).
+        """(consumed file BASENAMES over retained manifests,
+        detection-complete flag, LSN floor below which late detection
+        stays off).
+
+        Basenames, not full paths: the same table can be reopened with
+        a different ``--log-dir`` spelling (relative vs absolute, a
+        symlink, a remount) and a path-string comparison would then
+        mark every already-applied file unconsumed and quarantine the
+        whole retained log.  Log-file names are unique per protocol
+        (name-ordered ``events-*``), and basename matching errs on the
+        safe side (skip, never false-quarantine).
 
         Detection is complete only when EVERY retained manifest records
         ``source_files`` (tables written by older code keep legacy
@@ -1187,10 +1197,12 @@ class CdcEngine:
         manifest's parent watermark: files wholly below it predate the
         retention window, so applied-vs-late is undecidable there
         (their manifests are GC'd) — ``gc_log`` reclaims those.
-        Incrementally cached per engine instance (O(new epochs) manifest
-        loads per call, not O(all epochs))."""
+        Incrementally cached per engine instance, keyed by the epoch
+        listing AND the rollback generation (rollback + replay can
+        recommit the same epoch numbers with different source files)."""
         epochs = list_committed_epochs(self.table_root)
-        key = (epochs[0], epochs[-1], len(epochs)) if epochs else None
+        gen = load_generation(self.table_root)
+        key = (epochs[0], epochs[-1], len(epochs), gen) if epochs else None
         cache = getattr(self, "_consumed_cache", None)
         if cache is not None and cache[0] == key:
             return cache[1], cache[2], cache[3]
@@ -1207,7 +1219,7 @@ class CdcEngine:
             if m.source_files is None:
                 complete = False
             else:
-                consumed.update(m.source_files)
+                consumed.update(os.path.basename(p) for p in m.source_files)
         self._consumed_cache = (key, consumed, complete, floor)
         return consumed, complete, floor
 
@@ -1220,7 +1232,9 @@ class CdcEngine:
         ``_quarantine/late/`` and append a metrics line — the
         watermark itself never regresses (out-of-order events inside a
         STRADDLING file are handled row-wise by the validate stage's
-        watermark filter, which is redelivery semantics, not loss)."""
+        watermark filter, which is redelivery semantics, not loss).
+        Files on remote URIs cannot be moved from here; they still get
+        the metrics line (once) so the violation is never silent."""
         if watermark < 0:
             return 0
         consumed, complete, floor = self._consumed_files()
@@ -1228,29 +1242,41 @@ class CdcEngine:
             return 0
         moved = 0
         qdir = os.path.join(self.table_root, "_quarantine", "late")
-        for f in list_log_files(self.log_dir):
-            if (
-                floor < f.max_lsn <= watermark
-                and f.path not in consumed
-                and os.path.exists(f.path)  # remote URIs: metrics-only below
-            ):
-                os.makedirs(qdir, exist_ok=True)
-                dest = os.path.join(qdir, os.path.basename(f.path))
-                os.replace(f.path, dest)
-                with open(os.path.join(qdir, "_late.jsonl"), "a") as fh:
-                    fh.write(
-                        json.dumps(
-                            {
-                                "file": os.path.basename(f.path),
-                                "min_lsn": int(f.min_lsn),
-                                "max_lsn": int(f.max_lsn),
-                                "watermark": int(watermark),
-                                "rows": int(f.num_rows),
-                            }
-                        )
-                        + "\n"
+        meta = os.path.join(qdir, "_late.jsonl")
+        logged: set[str] = set()
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                logged = {json.loads(line)["file"] for line in fh}
+
+        def record(f, movable: bool) -> None:
+            os.makedirs(qdir, exist_ok=True)
+            with open(meta, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "file": os.path.basename(f.path),
+                            "min_lsn": int(f.min_lsn),
+                            "max_lsn": int(f.max_lsn),
+                            "watermark": int(watermark),
+                            "rows": int(f.num_rows),
+                            "moved": movable,
+                        }
                     )
+                    + "\n"
+                )
+
+        for f in list_log_files(self.log_dir):
+            name = os.path.basename(f.path)
+            if not (floor < f.max_lsn <= watermark) or name in consumed:
+                continue
+            if os.path.exists(f.path):
+                os.makedirs(qdir, exist_ok=True)
+                os.replace(f.path, os.path.join(qdir, name))
+                record(f, movable=True)
                 moved += 1
+            elif name not in logged:  # remote URI: metrics-only, once
+                record(f, movable=False)
+                logged.add(name)
         return moved
 
     def late_quarantine_stats(self) -> dict:

@@ -332,6 +332,20 @@ class EpochDeltaIndex:
         committed = set(list_committed_epochs(self.engine.table_root))
         bases = self._base_epochs()
         cur_base = self._current_base(cursor)
+        # base hygiene FIRST, rebuild BEFORE deleting stale bases: if
+        # rollback invalidated every base (the per-epoch deltas it
+        # covered are gone), re-derive from the snapshot at the
+        # rollback target — the invalid dirs stay on disk until the
+        # rebuilt base's rename lands, so a crash mid-rebuild leaves
+        # the no-valid-base tripwire armed (``_delta_files`` raises)
+        # instead of silently serving a truncated index.
+        if bases and cur_base is None and cursor > 0 and cursor in committed:
+            self._rebuild_base(cursor)
+            cur_base = cursor
+            bases = self._base_epochs()
+        for e in bases:
+            if e != cur_base:
+                shutil.rmtree(self._base_dir(e), ignore_errors=True)
         floor = -1 if cur_base is None else cur_base
         for n in os.listdir(self.dir):
             if not (n.startswith("fp-e") or n.startswith("base-e")):
@@ -340,19 +354,10 @@ class EpochDeltaIndex:
                 shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
                 continue
             if n.startswith("base-e"):
-                continue  # bases handled below
+                continue  # bases handled above
             e = int(n[4:10])
             if e > cursor or e <= floor:
                 shutil.rmtree(os.path.join(self.dir, n), ignore_errors=True)
-        # base hygiene: keep only the newest valid base; if a base
-        # existed but rollback invalidated every one (the per-epoch
-        # deltas it covered are gone), re-derive it from the snapshot
-        # at the rollback target before consuming new epochs
-        for e in bases:
-            if e != cur_base:
-                shutil.rmtree(self._base_dir(e), ignore_errors=True)
-        if bases and cur_base is None and cursor > 0 and cursor in committed:
-            self._rebuild_base(cursor)
         done = []
         for e, ds in self.engine.consume(self.consumer):
             if not os.path.isdir(self._epoch_dir(e)) or not self._marker_ok(e):

@@ -301,11 +301,11 @@ def derive_multi_log(sf_dir: str, log_dir: str) -> None:
     id_str = pc.cast(docs["doc_id"], pa.string())
     base = 2 * (int(ids.max()) + 1)
 
-    def list32(vals_per_row: list[np.ndarray]) -> pa.ListArray:
-        lens = np.array([len(v) for v in vals_per_row], np.int64)
-        off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=off[1:])
-        flat = np.concatenate(vals_per_row) if len(vals_per_row) else np.zeros(0)
+    def fixed_lists(flat: np.ndarray, width: int) -> pa.ListArray:
+        """list<int32> column of equal-width rows from one flat array —
+        fully vectorized (no per-row Python)."""
+        n = len(flat) // width
+        off = np.arange(n + 1, dtype=np.int64) * width
         return pa.ListArray.from_arrays(
             pa.array(off, pa.int32()), pa.array(flat.astype(np.int32), pa.int32())
         ).cast(pa.list_(pa.int32()))
@@ -339,7 +339,7 @@ def derive_multi_log(sf_dir: str, log_dir: str) -> None:
     seq_toks = pa.ListArray.from_arrays(
         pa.array(s_off, pa.int32()), pa.array(s_toks.astype(np.int32), pa.int32())
     ).cast(pa.list_(pa.int32()))
-    meta_toks0 = list32([np.array([i % VOCAB]) for i in ids])
+    meta_toks0 = fixed_lists(ids % VOCAB, 1)
     write(
         0,
         [
@@ -382,7 +382,9 @@ def derive_multi_log(sf_dir: str, log_dir: str) -> None:
     ).cast(pa.list_(pa.int32()))
     mu = ids % 3 == 0
     muids = ids[mu]
-    meta_toks1 = list32([np.array([i % VOCAB, 7]) for i in muids])
+    meta_toks1 = fixed_lists(
+        np.stack([muids % VOCAB, np.full(len(muids), 7)], axis=1).reshape(-1), 2
+    )
     write(
         1,
         [

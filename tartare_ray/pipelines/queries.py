@@ -345,9 +345,17 @@ def _bucket_of(b: pa.Table, key: str, n_buckets: int) -> pa.Array:
     """Coarse shuffle bucket for an integer key column — the window
     ops shuffle on O(cluster) buckets, never on the raw key, so the
     per-group fold runs O(buckets) times (not O(keys)) and no single
-    key's history must fit a group by itself (funnel_depth pattern)."""
-    k = b[key].combine_chunks().to_numpy()
-    return pa.array((k % n_buckets).astype(np.int32))
+    key's history must fit a group by itself (funnel_depth pattern).
+    Keys are mixed (mix64) before the modulo: raw ``key % n_buckets``
+    collapses structured id spaces (all-even ids, stride-allocated
+    ids) into a few giant buckets — exactly the blowup bucketing
+    exists to avoid."""
+    from ..functions.hashing import mix64
+
+    k = b[key].combine_chunks().to_numpy().astype(np.int64)
+    return pa.array(
+        (mix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+    )
 
 
 def sessionize(sf_dir: str) -> ray.data.Dataset:

@@ -84,6 +84,29 @@ class ValidatePartitionStage:
             pc.and_(pc.is_valid(batch["lsn"]), pc.is_valid(batch["doc_id"])),
             pc.is_in(batch["op"], value_set=pa.array(VALID_OPS)),
         )
+        # metadata integrity: n_tok must equal len(tokens) (both null =
+        # tombstone, fine; exactly one null or a miscount = malformed).
+        # Downstream consumers — span scrub's pruned base read, pack
+        # planning, export budgeting — TRUST the stored column, so a
+        # producer miscount is quarantined here, not propagated.  (In
+        # late-materialization mode this runs in phase 2; a malformed
+        # winner is quarantined and its key keeps the previous table
+        # state — quarantine + requeue is the repair path.)
+        if "n_tok" in batch.schema.names and "tokens" in batch.schema.names:
+            nt_v = pc.is_valid(batch["n_tok"])
+            tk_v = pc.is_valid(batch["tokens"])
+            match = pc.fill_null(
+                pc.equal(
+                    pc.cast(batch["n_tok"], pa.int64()),
+                    pc.cast(pc.list_value_length(batch["tokens"]), pa.int64()),
+                ),
+                False,
+            )
+            n_ok = pc.or_(
+                pc.and_(pc.and_(nt_v, tk_v), match),
+                pc.and_(pc.invert(nt_v), pc.invert(tk_v)),
+            )
+            ok = pc.and_(ok, n_ok)
         ok = pc.fill_null(ok, False)
         if not pc.all(ok).as_py():
             self._quarantine(batch.filter(pc.invert(ok)))

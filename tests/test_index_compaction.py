@@ -344,3 +344,35 @@ def test_delta_filename_hash_covers_offsets(ray_session, tmp_path):
     assert len(files) == 2, f"filename collision lost a block: {files}"
     total = sum(pq.read_table(os.path.join(tmp, f)).num_rows for f in files)
     assert total == 4
+
+
+def test_crashed_rebuild_keeps_tripwire_armed(ray_session, tmp_path):
+    """A crash during the rollback-past-compaction snapshot rebuild
+    must leave the invalid base dirs on disk so reads keep RAISING
+    (no silent truncated serving) — update() deletes stale bases only
+    AFTER the rebuilt base's rename lands."""
+    _, eng = _three_epoch_engine(tmp_path)
+    idx = TokenDedupIndex(eng)
+    idx.update()
+    idx.compact()  # base at epoch 3
+    eng.rollback(1)
+
+    real = TokenDedupIndex._write_rows_dir
+
+    def crash(self, tmp, ds, rows_fn):
+        raise RuntimeError("injected rebuild crash")
+
+    TokenDedupIndex._write_rows_dir = crash
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            idx.update()
+    finally:
+        TokenDedupIndex._write_rows_dir = real
+    # invalid base still on disk -> reads raise, never serve empty
+    with pytest.raises(RuntimeError, match="run update"):
+        idx.live_fingerprints()
+    # recovery: a plain re-run rebuilds and serves the rollback state
+    idx.update()
+    fresh = TokenDedupIndex(eng, name="fresh-crash")
+    fresh.update()
+    assert _fps(idx) == _fps(fresh)

@@ -126,3 +126,72 @@ def test_legacy_manifests_disable_detection(ray_session, tmp_path):
     eng.replay()
     assert eng.late_quarantine_stats()["files"] == 0
     assert os.path.exists(f"{log}/events-000002.parquet")
+
+
+def test_log_dir_respelling_never_false_quarantines(ray_session, tmp_path):
+    """Manifests may record source files under a different log-dir
+    spelling (relative vs absolute, symlink); consumed-file matching
+    is by basename, so reopening the table with another spelling must
+    not quarantine already-applied files."""
+    log, eng = _engine(tmp_path)
+    link = str(tmp_path / "loglink")
+    os.symlink(log, link)
+    eng2 = CdcEngine(
+        link, eng.table_root, EngineConfig(num_partitions=2, epoch_max_files=1)
+    )
+    eng2.replay()  # no-op; must not move anything
+    assert eng2.late_quarantine_stats()["files"] == 0
+    assert sorted(os.listdir(log)) == [
+        "events-000000.parquet",
+        "events-000001.parquet",
+    ]
+
+
+def test_consumed_cache_refreshes_across_rollback_generation(ray_session, tmp_path):
+    """Rollback + replay can recommit the same epoch numbers with
+    different source files; the consumed-set cache keys on the
+    rollback generation so the post-rollback plan sees fresh lineage
+    (a newly named replacement file must not be treated as late)."""
+    log, eng = _engine(tmp_path)
+    before = _state(eng)
+    # prime the cache
+    eng.replay()
+    # incident: roll back to epoch 1, replace file 1 under a NEW name
+    eng.rollback(1)
+    os.remove(f"{log}/events-000001.parquet")
+    _write_events(f"{log}/events-000001b.parquet", [(20, "U", "a", [3, 3, 3])])
+    eng.replay()
+    assert eng.late_quarantine_stats()["files"] == 0
+    assert os.path.exists(f"{log}/events-000001b.parquet")
+    assert _state(eng) == before
+
+
+def test_n_tok_miscount_is_quarantined(ray_session, tmp_path):
+    """A live row whose stored n_tok disagrees with len(tokens) is
+    malformed (downstream consumers trust the column): quarantined,
+    not applied; tombstones (both null) pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    tbl = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": pa.array(["I", "I", "I", "D"], pa.string()),
+            "doc_id": pa.array(["a", "b", "c", "a"], pa.string()),
+            "tokens": pa.array([[1, 2], [5], [7, 7], None], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 99, None, None], pa.int32()),  # b miscounts, c null
+            "source": pa.array(["s", "s", "s", None], pa.string()),
+            "schema_version": pa.array([1] * 4, pa.int32()),
+        },
+        schema=CHANGE_SCHEMA,
+    )
+    pq.write_table(tbl, f"{log}/events-000000.parquet")
+    eng = CdcEngine(
+        log, str(tmp_path / "tbl"), EngineConfig(num_partitions=2, epoch_max_files=1)
+    )
+    eng.replay()
+    # a survives as inserted then deleted -> gone; b and c quarantined
+    assert eng.snapshot_dataset(columns=["doc_id"]).count() == 0
+    assert eng._quarantine_count(1) == 2
