@@ -1246,7 +1246,13 @@ class CdcEngine:
         logged: set[str] = set()
         if os.path.exists(meta):
             with open(meta) as fh:
-                logged = {json.loads(line)["file"] for line in fh}
+                for line in fh:
+                    # appends are not atomic: a torn final line from a
+                    # crashed writer must not wedge every future epoch
+                    try:
+                        logged.add(json.loads(line)["file"])
+                    except (ValueError, KeyError):
+                        continue
 
         def record(f, movable: bool) -> None:
             os.makedirs(qdir, exist_ok=True)
@@ -1280,16 +1286,28 @@ class CdcEngine:
         return moved
 
     def late_quarantine_stats(self) -> dict:
-        """{files, rows} quarantined as late across the table's life."""
+        """{files, rows} physically dead-lettered as late across the
+        table's life, plus ``logged_only`` — remote-URI violations that
+        got the metrics line but could not be moved.  Tolerates a torn
+        final jsonl line (non-atomic appends)."""
         p = os.path.join(self.table_root, "_quarantine", "late", "_late.jsonl")
-        files = rows = 0
+        files = rows = logged_only = 0
         if os.path.exists(p):
             with open(p) as fh:
                 for line in fh:
-                    d = json.loads(line)
-                    files += 1
-                    rows += int(d.get("rows", 0))
-        return {"files": files, "rows": rows}
+                    try:
+                        d = json.loads(line)
+                    except ValueError:
+                        continue
+                    if d.get("moved", True):
+                        files += 1
+                        rows += int(d.get("rows", 0))
+                    else:
+                        logged_only += 1
+        out = {"files": files, "rows": rows}
+        if logged_only:
+            out["logged_only"] = logged_only
+        return out
 
     def quarantine_dataset(self, epoch: int) -> ray.data.Dataset:
         """The malformed rows rejected by epoch ``epoch``'s validate

@@ -88,10 +88,19 @@ class ValidatePartitionStage:
         # tombstone, fine; exactly one null or a miscount = malformed).
         # Downstream consumers — span scrub's pruned base read, pack
         # planning, export budgeting — TRUST the stored column, so a
-        # producer miscount is quarantined here, not propagated.  (In
-        # late-materialization mode this runs in phase 2; a malformed
-        # winner is quarantined and its key keeps the previous table
-        # state — quarantine + requeue is the repair path.)
+        # producer miscount is quarantined here, not propagated.
+        #
+        # SPECIFIED mode divergence for the pathological case where a
+        # key's NEWEST same-epoch event is malformed but an older one
+        # is valid (tests/test_late_quarantine.py pins both): normal
+        # mode quarantines the malformed row before the pre-reduce, so
+        # the older valid event wins the epoch; late-materialization
+        # mode picked the malformed LSN in the envelope-only phase 1
+        # (it cannot see tokens), quarantines it here, and the key
+        # HOLDS its previous committed state.  Neither mode ever
+        # applies the malformed value; quarantine + requeue repairs
+        # both, and holding previous state is arguably the safer read
+        # of "the newest intent was garbage".
         if "n_tok" in batch.schema.names and "tokens" in batch.schema.names:
             nt_v = pc.is_valid(batch["n_tok"])
             tk_v = pc.is_valid(batch["tokens"])

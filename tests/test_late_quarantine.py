@@ -195,3 +195,60 @@ def test_n_tok_miscount_is_quarantined(ray_session, tmp_path):
     # a survives as inserted then deleted -> gone; b and c quarantined
     assert eng.snapshot_dataset(columns=["doc_id"]).count() == 0
     assert eng._quarantine_count(1) == 2
+
+
+def test_n_tok_miscount_mode_semantics_are_pinned(ray_session, tmp_path):
+    """Specified divergence (stages/validate.py): when a key's NEWEST
+    same-epoch event is malformed (n_tok miscount) but an older one is
+    valid, normal mode applies the older event while late-
+    materialization mode holds the previous state (phase 1 is
+    envelope-only and cannot see tokens).  Neither applies the
+    malformed value; both quarantine it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def build(tag, **cfg):
+        log = str(tmp_path / f"log-{tag}")
+        os.makedirs(log)
+        tbl = pa.table(
+            {
+                "lsn": pa.array([1, 2], pa.int64()),
+                "op": pa.array(["I", "U"], pa.string()),
+                "doc_id": pa.array(["a", "a"], pa.string()),
+                "tokens": pa.array([[1, 2], [9]], pa.list_(pa.int32())),
+                "n_tok": pa.array([2, 99], pa.int32()),  # newest miscounts
+                "source": pa.array(["s", "s"], pa.string()),
+                "schema_version": pa.array([1, 1], pa.int32()),
+            },
+            schema=CHANGE_SCHEMA,
+        )
+        pq.write_table(tbl, f"{log}/events-000000.parquet")
+        eng = CdcEngine(
+            log, str(tmp_path / f"tbl-{tag}"), EngineConfig(num_partitions=2, **cfg)
+        )
+        eng.replay()
+        return eng
+
+    normal = build("normal")
+    assert _state(normal) == {"a": 2}  # older valid event wins
+    assert normal._quarantine_count(1) == 1
+    late = build(
+        "late", write_mode="delta", exchange="hash", late_materialization=True
+    )
+    assert late.snapshot_dataset(columns=["doc_id"]).count() == 0  # holds prior (none)
+    assert late._quarantine_count(1) == 1
+
+
+def test_torn_late_jsonl_line_does_not_wedge_replay(ray_session, tmp_path):
+    """A crashed writer can leave a truncated final _late.jsonl line;
+    the commit path and stats reader must tolerate it."""
+    log, eng = _engine(tmp_path)
+    _write_events(f"{log}/events-000002.parquet", [(5, "I", "z", [9])])
+    eng.replay()  # quarantines the late file, writes one jsonl line
+    meta = os.path.join(eng.table_root, "_quarantine", "late", "_late.jsonl")
+    with open(meta, "a") as f:
+        f.write('{"file": "torn')  # no newline, invalid json
+    _write_events(f"{log}/events-000003.parquet", [(30, "I", "c", [4])])
+    eng.replay()  # must not raise
+    assert eng.history()[0]["watermark_lsn"] == 30
+    assert eng.late_quarantine_stats() == {"files": 1, "rows": 1}

@@ -133,12 +133,30 @@ def run_level(n_events: int, cpus: int) -> None:
             .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part")
             .map_groups(fold, batch_format="pyarrow")
+            .materialize()  # O(P) rows — both sums read the same pass
         )
         return int(agg.sum("n") or 0), int(agg.sum("toks") or 0)
 
     def table_state(table: str) -> tuple[int, int]:
-        ds = mt.snapshot(table, g).select_columns(["doc_id", "n_tok"])
-        return ds.count(), int(ds.sum("n_tok") or 0)
+        import pyarrow as pa_
+
+        def pre(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n": pa_.array([len(b)], pa_.int64()),
+                    "toks": pa_.array(
+                        [int(pc.sum(b["n_tok"]).as_py() or 0)], pa_.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            mt.snapshot(table, g)
+            .select_columns(["doc_id", "n_tok"])
+            .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()  # O(blocks) rows — one snapshot pass
+        )
+        return int(agg.sum("n") or 0), int(agg.sum("toks") or 0)
 
     verify = {}
     ok = True
