@@ -621,32 +621,63 @@ def kmeans_lloyd(
 class SemDedupAssignStage:
     """SemDeDup bucketing (cluster-then-verify, after Abbas et al.'s
     SemDeDup shape, public arXiv:2303.09540): each vector is emitted
-    into its ``nprobe`` nearest coarse clusters — probing the 2nd
-    centroid handles pairs straddling a cluster boundary — carrying
-    its l2-normalized embedding so the within-cluster exact verify
-    runs GROUP-LOCAL (memory O(cluster), never O(corpus)).  Centroids
-    fetched once per actor in ``__init__``; the shuffle moves each
-    embedding nprobe times (vs n_tables× for the LSH path)."""
+    into its ``nprobe`` nearest coarse clusters — probing beyond the
+    1st centroid handles pairs straddling a cluster boundary —
+    carrying its l2-normalized embedding so the within-cluster exact
+    verify runs GROUP-LOCAL (memory O(cluster), never O(corpus)).
+    Centroids fetched once per actor in ``__init__``; the shuffle
+    moves each embedding ≤ max_probe times (vs n_tables× for LSH).
 
-    def __init__(self, centroids_ref, nprobe: int = 2):
+    ``eps`` adds ADAPTIVE boundary probing: beyond the always-probed
+    top-``nprobe``, clusters whose similarity is within ``eps`` of the
+    row's best are probed too (capped at ``max_probe``).  Guarantee:
+    for unit vectors, |sim_a(c) − sim_b(c)| ≤ ‖a−b‖ for every
+    centroid c, so a pair with ‖a−b‖ ≤ eps/2 (cosine ≥ 1 − eps²/8;
+    0.99875 at the default eps=0.1) always shares at least one probed
+    cluster — near-identical pairs co-locate DETERMINISTICALLY, not
+    w.h.p., unless the cap truncates an unusually crowded window."""
+
+    def __init__(
+        self,
+        centroids_ref,
+        nprobe: int = 2,
+        eps: float = 0.1,
+        max_probe: int = 8,
+    ):
         self.c = ray.get(centroids_ref)  # spherical (unit-norm) centroids
         self.nprobe = nprobe
+        self.eps = eps
+        self.max_probe = max(max_probe, nprobe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = l2_normalize(embedding_matrix(batch))
         n, d = m.shape
-        p = min(self.nprobe, self.c.shape[0])
+        k = self.c.shape[0]
+        cap = min(self.max_probe, k)
+        p = min(self.nprobe, k)
         sims = m @ self.c.T
-        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-        tiled = np.repeat(m, p, axis=0)
+        # top-cap candidates per row (order within the cap by sim desc)
+        cand = np.argpartition(-sims, cap - 1, axis=1)[:, :cap]
+        rows = np.arange(n)[:, None]
+        cs = sims[rows, cand]
+        order = np.argsort(-cs, axis=1, kind="stable")
+        cand = cand[rows, order]
+        cs = cs[rows, order]
+        # emit: always the top-p, plus ranks p..cap within eps of best
+        keep = np.ones((n, cap), bool)
+        if cap > p:
+            keep[:, p:] = cs[:, p:] >= (cs[:, :1] - self.eps)
+        counts = keep.sum(axis=1)
+        flat_cl = cand[keep]
+        tiled = np.repeat(m, counts, axis=0)
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(tiled.reshape(-1), pa.float64()), d
         )
         return pa.table(
             {
-                "cluster": pa.array(top.reshape(-1).astype(np.int64)),
-                "vec_id": pa.array(np.repeat(ids, p)),
+                "cluster": pa.array(flat_cl.astype(np.int64)),
+                "vec_id": pa.array(np.repeat(ids, counts)),
                 "emb": emb,
             }
         )
