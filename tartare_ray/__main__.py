@@ -228,6 +228,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--num-partitions", type=int, default=64)
 
     sp = sub.add_parser(
+        "mt-replay",
+        help="multi-table: demux an interleaved binlog (table column) into "
+             "per-table engines and commit ONE atomic cross-table global manifest",
+    )
+    sp.add_argument("--log-dir", required=True)
+    sp.add_argument("--root", required=True, help="multi-table work root (demux/ tables/ _global/)")
+    sp.add_argument("--num-partitions", type=int, default=64)
+    sp.add_argument("--write-mode", choices=["cow", "delta"], default="cow")
+
+    sp = sub.add_parser(
+        "mt-status",
+        help="multi-table: the newest global manifest's per-table epochs/watermarks",
+    )
+    sp.add_argument("--root", required=True)
+
+    sp = sub.add_parser(
         "verify-replay",
         help="acceptance check: diff the committed snapshot row-for-row (incl. token arrays) against the single-process oracle applier",
     )
@@ -389,6 +405,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.log_dir:
             out["log_files_removed"] = gc_log(args.table_root, args.log_dir)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "mt-replay":
+        from .pipelines.cdc import EngineConfig
+        from .pipelines.multi_table import MultiTableCdc
+
+        _init_ray()
+        mt = MultiTableCdc(
+            args.log_dir,
+            args.root,
+            EngineConfig(num_partitions=args.num_partitions, write_mode=args.write_mode),
+        )
+        g = mt.replay()
+        print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g)}))
+        return 0
+
+    if args.cmd == "mt-status":
+        from .pipelines.multi_table import MultiTableCdc
+
+        mt = MultiTableCdc("", args.root)  # log_dir unused for status reads
+        g = mt.global_epoch()
+        print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g) if g else {}}))
         return 0
 
     if args.cmd == "sync-replica":

@@ -150,3 +150,32 @@ def test_demux_crash_redelivery_is_idempotent(ray_session, tmp_path):
     assert mt.replay() == 1
     assert _state(mt, "alpha") == {"a": 2, "b": 1}
     assert _state(mt, "beta") == {"a": 1, "b": 2}
+
+
+@pytest.mark.slow
+def test_cli_mt_replay_and_status(tmp_path):
+    """CLI surface: mt-replay demuxes + replays + globally commits;
+    mt-status reads the newest global manifest."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "tartare_ray", *args],
+            capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    log = str(tmp_path / "log")
+    _write_mixed(
+        f"{log}/events-000000.parquet",
+        [(1, "alpha", "I", "a", [1, 2]), (2, "beta", "I", "a", [9])],
+    )
+    root = str(tmp_path / "mt")
+    out = cli("mt-replay", "--log-dir", log, "--root", root, "--num-partitions", "2")
+    assert out["global_epoch"] == 1 and set(out["tables"]) == {"alpha", "beta"}
+    st = cli("mt-status", "--root", root)
+    assert st == out
