@@ -236,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--root", required=True, help="multi-table work root (demux/ tables/ _global/)")
     sp.add_argument("--num-partitions", type=int, default=64)
     sp.add_argument("--write-mode", choices=["cow", "delta"], default="cow")
+    sp.add_argument("--exchange", choices=["sort", "hash"], default="sort")
 
     sp = sub.add_parser(
         "mt-status",
@@ -415,7 +416,11 @@ def main(argv: list[str] | None = None) -> int:
         mt = MultiTableCdc(
             args.log_dir,
             args.root,
-            EngineConfig(num_partitions=args.num_partitions, write_mode=args.write_mode),
+            EngineConfig(
+                num_partitions=args.num_partitions,
+                write_mode=args.write_mode,
+                exchange=args.exchange,
+            ),
         )
         g = mt.replay()
         print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g)}))
@@ -426,7 +431,7 @@ def main(argv: list[str] | None = None) -> int:
 
         mt = MultiTableCdc("", args.root)  # log_dir unused for status reads
         g = mt.global_epoch()
-        print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g) if g else {}}))
+        print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g)}))
         return 0
 
     if args.cmd == "sync-replica":

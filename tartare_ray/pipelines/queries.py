@@ -3003,22 +3003,34 @@ def ann_lsh_recall(sf_dir: str, floor: float = 0.9) -> pa.Table:
     )
 
 
-def semdedup_pairs(sf_dir: str, threshold: float = 0.3, nprobe: int = 4) -> ray.data.Dataset:
+def semdedup_pairs(
+    sf_dir: str,
+    threshold: float = 0.3,
+    nprobe: int = 4,
+    eps: float = 0.1,
+    max_probe: int = 8,
+) -> ray.data.Dataset:
     """SemDeDup-shaped clustered embedding near-dup (the second
     sub-quadratic embedding path, complementing ``ann_lsh_pairs``):
     spherical k-means coarse quantizer (driver-side sample, same
     convention as ann_ivf_topk) → each vector emitted into its
-    ``nprobe``=4 nearest clusters (boundary pairs co-locate in ≥1
-    probed cluster; 4 probes measured recall 1.0 at the 0.3 moderate-
-    similarity threshold where 2 probes gave 0.76 — at near-dup
-    thresholds 2 suffice) → within-cluster EXACT blocked-matmul verify
-    (stages/similarity.py::cluster_pairs_verify — no drop cap, a fat
-    cluster costs time not recall) → pair dedupe.  Cluster count
-    scales ≈ n/512 so the expected cluster stays a few hundred rows
-    at any corpus size; the shuffle moves each embedding nprobe×
-    (nprobe=4 halves LSH's 8× duplication).  Rows-only driver check; the recall
-    verdict vs exact all-pairs is ``semdedup_recall`` (value-hashed)
-    and the 10^6-vector campaign is tools/ann_campaign.py."""
+    ``nprobe`` nearest clusters PLUS any cluster within ``eps`` of
+    its best similarity, capped at ``max_probe`` (the adaptive
+    boundary probe: pairs at cos ≥ 1−eps²/8 co-locate
+    DETERMINISTICALLY — stages/similarity.py::SemDedupAssignStage) →
+    within-cluster EXACT blocked-matmul verify
+    (cluster_pairs_verify — no drop cap, a fat cluster costs time not
+    recall) → pair dedupe.  Cluster count scales ≈ n/512 so the
+    expected cluster stays a few hundred rows at any corpus size.
+    Shuffle cost: each embedding moves between nprobe× and max_probe×
+    (data-dependent; the default cap 8 EQUALS LSH's 8-table
+    duplication in the worst case — provision for the cap).  The
+    recall/cost knobs are all exposed here: ``eps=0`` recovers the
+    fixed-``nprobe`` configuration (10^6 planted campaign recall
+    0.964), defaults measured 0.9993, ``max_probe=16`` 0.99998
+    (BASELINE.md).  Rows-only driver check; the recall verdict vs
+    exact all-pairs is ``semdedup_recall`` (value-hashed) and the
+    10^6-vector campaign is tools/ann_campaign.py."""
     n = _table_num_rows(sf_dir, "embeddings")
     n_clusters = max(8, n // 512)
     sample = _embedding_head(sf_dir, min(n, max(4096, 4 * n_clusters)))
@@ -3027,7 +3039,9 @@ def semdedup_pairs(sf_dir: str, threshold: float = 0.3, nprobe: int = 4) -> ray.
     cref = ray.put(centroids)
     buckets = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         S.SemDedupAssignStage,
-        fn_constructor_kwargs=dict(centroids_ref=cref, nprobe=nprobe),
+        fn_constructor_kwargs=dict(
+            centroids_ref=cref, nprobe=nprobe, eps=eps, max_probe=max_probe
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=_conc(),

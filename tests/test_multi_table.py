@@ -159,12 +159,17 @@ def test_cli_mt_replay_and_status(tmp_path):
     import subprocess
     import sys
 
-    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        RAY_ADDRESS="local",
+    )
 
     def cli(*args):
         r = subprocess.run(
             [sys.executable, "-m", "tartare_ray", *args],
-            capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+            capture_output=True, text=True, timeout=300, env=env, cwd=repo,
         )
         assert r.returncode == 0, r.stderr[-1500:]
         return json.loads(r.stdout.strip().splitlines()[-1])
