@@ -239,6 +239,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--exchange", choices=["sort", "hash"], default="sort")
 
     sp = sub.add_parser(
+        "normalize-log",
+        help="convert a CSV or JSONL change log into the engine's Parquet log layout",
+    )
+    sp.add_argument("--src", required=True, help="directory of .csv / .jsonl change files")
+    sp.add_argument("--format", choices=["csv", "jsonl"], required=True)
+    sp.add_argument("--out", required=True, help="Parquet log dir (events-*.parquet)")
+
+    sp = sub.add_parser(
         "mt-status",
         help="multi-table: the newest global manifest's per-table epochs/watermarks",
     )
@@ -424,6 +432,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         g = mt.replay()
         print(json.dumps({"global_epoch": g, "tables": mt.watermarks(g)}))
+        return 0
+
+    if args.cmd == "normalize-log":
+        if args.format == "csv":
+            from .sources.csvsrc import csv_log_to_parquet as convert
+        else:
+            from .sources.jsonsrc import jsonl_log_to_parquet as convert
+        out = convert(args.src, args.out)
+        print(json.dumps({"files": len(out), "out": args.out}))
         return 0
 
     if args.cmd == "mt-status":
